@@ -1,0 +1,446 @@
+"""Functional SDXL UNet, written TPU-first against the op registry.
+
+Role in the stack: the analog of the reference's clean-room, fx-traceable UNet
+re-implementation (reference ``src/stabletriton/optimizers/unet_pt.py`` — a
+541-line torch module that exists only because stock Diffusers is untraceable).
+Here the same idea is taken further: the model is a *pure function* of
+``(config, params, inputs)`` — trivially jittable, shardable, and scannable —
+and every hot op goes through ``stabletriton_tpu.ops`` so the compile step can
+bind fused Pallas kernels without touching model code.
+
+Weight compatibility: ``params`` is a flat ``{hf_state_dict_key: array}`` dict
+using the exact Diffusers SDXL UNet key names (the reference loads HF weights
+via ``load_state_dict`` — ``implementations/Diffusers/load_sdxl_pipeline.py:24-25``;
+we load the same safetensors into this pytree). Layout differs from torch:
+linear weights are stored (in, out) and conv weights HWIO; the ingestion code
+(``stabletriton_tpu.io``) performs those transposes.
+
+Data layout: NHWC activations (TPU lane-friendly), fp32 or bf16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stabletriton_tpu import ops
+
+# ---------------------------------------------------------------------------
+# config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """Topology of a UNet2DConditionModel (defaults = SDXL-base).
+
+    Reference topology hardcoded at ``unet_pt.py:435-464``:
+    DownBlock2D(320) -> CrossAttnDown(640, 2 tf layers) -> CrossAttnDown(1280, 10)
+    -> Mid(1280, 10) -> mirrored up path; dual time conditioning with 2816-wide
+    add_embedding (``unet_pt.py:469-488``).
+    """
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: tuple[int, ...] = (320, 640, 1280)
+    down_block_types: tuple[str, ...] = (
+        "DownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+    )
+    layers_per_block: int = 2
+    transformer_layers_per_block: tuple[int, ...] = (1, 2, 10)
+    attention_head_dim: int = 64
+    cross_attention_dim: int = 2048
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    transformer_norm_eps: float = 1e-6
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 2816
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    @property
+    def up_block_types(self) -> tuple[str, ...]:
+        mapping = {"DownBlock2D": "UpBlock2D", "CrossAttnDownBlock2D": "CrossAttnUpBlock2D"}
+        return tuple(mapping[t] for t in reversed(self.down_block_types))
+
+    def num_heads(self, channels: int) -> int:
+        assert channels % self.attention_head_dim == 0
+        return channels // self.attention_head_dim
+
+
+def sdxl_base_unet_config() -> UNetConfig:
+    return UNetConfig()
+
+
+def tiny_unet_config() -> UNetConfig:
+    """Small config with the same structural features (for CPU tests)."""
+    return UNetConfig(
+        block_out_channels=(32, 64),
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+        layers_per_block=1,
+        transformer_layers_per_block=(1, 1),
+        attention_head_dim=16,
+        cross_attention_dim=32,
+        norm_num_groups=8,
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=8 * 6 + 16,  # 6 time_ids + text_embeds
+    )
+
+
+# ---------------------------------------------------------------------------
+# parameter construction (shapes identical to the HF checkpoint, our layout)
+# ---------------------------------------------------------------------------
+
+
+class _ShapeBuilder:
+    """Collects {key: shape} for every parameter; used for init and validation."""
+
+    def __init__(self):
+        self.shapes: dict[str, tuple[int, ...]] = {}
+
+    def conv(self, key: str, cin: int, cout: int, k: int = 3):
+        self.shapes[f"{key}.weight"] = (k, k, cin, cout)  # HWIO
+        self.shapes[f"{key}.bias"] = (cout,)
+
+    def linear(self, key: str, cin: int, cout: int, bias: bool = True):
+        self.shapes[f"{key}.weight"] = (cin, cout)  # (in, out)
+        if bias:
+            self.shapes[f"{key}.bias"] = (cout,)
+
+    def norm(self, key: str, c: int):
+        self.shapes[f"{key}.weight"] = (c,)
+        self.shapes[f"{key}.bias"] = (c,)
+
+
+def _resnet_shapes(b: _ShapeBuilder, key: str, cin: int, cout: int, temb: int):
+    b.norm(f"{key}.norm1", cin)
+    b.conv(f"{key}.conv1", cin, cout)
+    b.linear(f"{key}.time_emb_proj", temb, cout)
+    b.norm(f"{key}.norm2", cout)
+    b.conv(f"{key}.conv2", cout, cout)
+    if cin != cout:
+        b.conv(f"{key}.conv_shortcut", cin, cout, k=1)
+
+
+def _transformer_shapes(b: _ShapeBuilder, key: str, c: int, cfg: UNetConfig, layers: int):
+    b.norm(f"{key}.norm", c)
+    b.linear(f"{key}.proj_in", c, c)
+    for k in range(layers):
+        tb = f"{key}.transformer_blocks.{k}"
+        b.norm(f"{tb}.norm1", c)
+        b.linear(f"{tb}.attn1.to_q", c, c, bias=False)
+        b.linear(f"{tb}.attn1.to_k", c, c, bias=False)
+        b.linear(f"{tb}.attn1.to_v", c, c, bias=False)
+        b.linear(f"{tb}.attn1.to_out.0", c, c)
+        b.norm(f"{tb}.norm2", c)
+        b.linear(f"{tb}.attn2.to_q", c, c, bias=False)
+        b.linear(f"{tb}.attn2.to_k", cfg.cross_attention_dim, c, bias=False)
+        b.linear(f"{tb}.attn2.to_v", cfg.cross_attention_dim, c, bias=False)
+        b.linear(f"{tb}.attn2.to_out.0", c, c)
+        b.norm(f"{tb}.norm3", c)
+        b.linear(f"{tb}.ff.net.0.proj", c, c * 8)  # GEGLU: 2 * (4c)
+        b.linear(f"{tb}.ff.net.2", c * 4, c)
+    b.linear(f"{key}.proj_out", c, c)
+
+
+def unet_param_shapes(cfg: UNetConfig) -> dict[str, tuple[int, ...]]:
+    """Every parameter key (Diffusers SDXL naming) and its shape in our layout."""
+    b = _ShapeBuilder()
+    temb = cfg.time_embed_dim
+    ch0 = cfg.block_out_channels[0]
+
+    b.conv("conv_in", cfg.in_channels, ch0)
+    b.linear("time_embedding.linear_1", ch0, temb)
+    b.linear("time_embedding.linear_2", temb, temb)
+    b.linear("add_embedding.linear_1", cfg.projection_class_embeddings_input_dim, temb)
+    b.linear("add_embedding.linear_2", temb, temb)
+
+    # down path
+    cin = ch0
+    for i, btype in enumerate(cfg.down_block_types):
+        cout = cfg.block_out_channels[i]
+        for j in range(cfg.layers_per_block):
+            _resnet_shapes(b, f"down_blocks.{i}.resnets.{j}", cin if j == 0 else cout, cout, temb)
+            if btype == "CrossAttnDownBlock2D":
+                _transformer_shapes(
+                    b, f"down_blocks.{i}.attentions.{j}", cout, cfg,
+                    cfg.transformer_layers_per_block[i],
+                )
+        if i < len(cfg.down_block_types) - 1:
+            b.conv(f"down_blocks.{i}.downsamplers.0.conv", cout, cout)
+        cin = cout
+
+    # mid
+    cmid = cfg.block_out_channels[-1]
+    _resnet_shapes(b, "mid_block.resnets.0", cmid, cmid, temb)
+    _transformer_shapes(b, "mid_block.attentions.0", cmid, cfg,
+                        cfg.transformer_layers_per_block[-1])
+    _resnet_shapes(b, "mid_block.resnets.1", cmid, cmid, temb)
+
+    # up path (mirrors diffusers: layers_per_block + 1 resnets, skip-concat inputs)
+    skip_channels = _skip_channel_stack(cfg)
+    rev_channels = list(reversed(cfg.block_out_channels))
+    prev = cmid
+    for i, btype in enumerate(cfg.up_block_types):
+        cout = rev_channels[i]
+        tf_layers = tuple(reversed(cfg.transformer_layers_per_block))[i]
+        for j in range(cfg.layers_per_block + 1):
+            skip = skip_channels.pop()
+            _resnet_shapes(b, f"up_blocks.{i}.resnets.{j}", prev + skip, cout, temb)
+            prev = cout
+            if btype == "CrossAttnUpBlock2D":
+                _transformer_shapes(b, f"up_blocks.{i}.attentions.{j}", cout, cfg, tf_layers)
+        if i < len(cfg.up_block_types) - 1:
+            b.conv(f"up_blocks.{i}.upsamplers.0.conv", cout, cout)
+
+    b.norm("conv_norm_out", ch0)
+    b.conv("conv_out", ch0, cfg.out_channels)
+    return b.shapes
+
+
+def _skip_channel_stack(cfg: UNetConfig) -> list[int]:
+    """Channel count of each down-path residual, in push order (conv_in first)."""
+    stack = [cfg.block_out_channels[0]]
+    cin = cfg.block_out_channels[0]
+    for i in range(len(cfg.down_block_types)):
+        cout = cfg.block_out_channels[i]
+        stack.extend([cout] * cfg.layers_per_block)
+        if i < len(cfg.down_block_types) - 1:
+            stack.append(cout)
+        cin = cout
+    return stack
+
+
+def init_unet_params(
+    cfg: UNetConfig, rng: jax.Array | int = 0, dtype=jnp.float32
+) -> dict[str, jax.Array]:
+    """Random-init params (tests/benches; real use loads HF safetensors)."""
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    shapes = unet_param_shapes(cfg)
+    params = {}
+    keys = jax.random.split(rng, len(shapes))
+    for k, (name, shape) in zip(keys, sorted(shapes.items())):
+        if name.endswith(".bias"):
+            params[name] = jnp.zeros(shape, dtype)
+        elif name.endswith("norm1.weight") or name.endswith("norm2.weight") or \
+                name.endswith("norm3.weight") or name.endswith("norm.weight") or \
+                name.endswith("conv_norm_out.weight"):
+            params[name] = jnp.ones(shape, dtype)
+        else:
+            fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else shape[0]
+            params[name] = (
+                jax.random.normal(k, shape, jnp.float32) / np.sqrt(max(fan_in, 1))
+            ).astype(dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _resnet(p, key: str, x, temb, cfg: UNetConfig):
+    """ResnetBlock2D: GN+SiLU -> conv -> +time -> GN+SiLU -> conv -> +skip.
+
+    Fusion targets per reference ``optimizations.txt`` (ResNet section): the
+    GroupNorm+SiLU pairs are single fused ops here; conv carries bias (and the
+    shortcut add fuses into conv2's epilogue via the conv2d op's residual arg).
+    """
+    h = ops.group_norm(
+        x, p[f"{key}.norm1.weight"], p[f"{key}.norm1.bias"],
+        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, act="silu",
+    )
+    h = ops.conv2d(h, p[f"{key}.conv1.weight"], p[f"{key}.conv1.bias"])
+    emb = ops.linear(
+        jax.nn.silu(temb), p[f"{key}.time_emb_proj.weight"], p[f"{key}.time_emb_proj.bias"]
+    )
+    h = h + emb[:, None, None, :].astype(h.dtype)
+    h = ops.group_norm(
+        h, p[f"{key}.norm2.weight"], p[f"{key}.norm2.bias"],
+        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, act="silu",
+    )
+    if f"{key}.conv_shortcut.weight" in p:
+        skip = ops.conv2d(
+            x, p[f"{key}.conv_shortcut.weight"], p[f"{key}.conv_shortcut.bias"],
+            stride=1, padding=0,
+        )
+    else:
+        skip = x
+    return ops.conv2d(h, p[f"{key}.conv2.weight"], p[f"{key}.conv2.bias"], residual=skip)
+
+
+def _split_heads(x, num_heads):
+    b, s, c = x.shape
+    return x.reshape(b, s, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _attention_layer(p, key: str, x, context, num_heads: int):
+    """Multi-head attention (self if context is x). Maps to the fused flash
+    kernel via ops.attention — the analog of the reference's fuse_attention
+    pass (``replace_attention.py:76-92``)."""
+    q = ops.linear(x, p[f"{key}.to_q.weight"])
+    k = ops.linear(context, p[f"{key}.to_k.weight"])
+    v = ops.linear(context, p[f"{key}.to_v.weight"])
+    q, k, v = (_split_heads(t, num_heads) for t in (q, k, v))
+    out = ops.attention(q, k, v)
+    out = _merge_heads(out)
+    return ops.linear(out, p[f"{key}.to_out.0.weight"], p[f"{key}.to_out.0.bias"])
+
+
+def _feed_forward(p, key: str, x):
+    """GEGLU feed-forward: proj -> split -> state*gelu(gate) -> linear.
+
+    Reference: fuse_geglu pass + geglu kernel (``replace_geglu.py:34-39``,
+    ``kernels/geglu.py``). Dropout between GEGLU and the out-projection is
+    elided entirely (the remove_dropout pass analog: inference never has it).
+    """
+    proj = ops.linear(x, p[f"{key}.net.0.proj.weight"], p[f"{key}.net.0.proj.bias"])
+    state, gate = jnp.split(proj, 2, axis=-1)
+    h = ops.geglu(state, gate)
+    return ops.linear(h, p[f"{key}.net.2.weight"], p[f"{key}.net.2.bias"])
+
+
+def _transformer_block(p, key: str, x, context, num_heads: int, eps: float):
+    h = ops.layer_norm(x, p[f"{key}.norm1.weight"], p[f"{key}.norm1.bias"], eps=eps)
+    x = x + _attention_layer(p, f"{key}.attn1", h, h, num_heads)
+    h = ops.layer_norm(x, p[f"{key}.norm2.weight"], p[f"{key}.norm2.bias"], eps=eps)
+    x = x + _attention_layer(p, f"{key}.attn2", h, context, num_heads)
+    h = ops.layer_norm(x, p[f"{key}.norm3.weight"], p[f"{key}.norm3.bias"], eps=eps)
+    return x + _feed_forward(p, f"{key}.ff", h)
+
+
+def _transformer2d(p, key: str, x, context, cfg: UNetConfig, layers: int):
+    """Transformer2DModel with linear projections (SDXL uses use_linear_projection)."""
+    n, h, w, c = x.shape
+    num_heads = cfg.num_heads(c)
+    residual = x
+    hs = ops.group_norm(
+        x, p[f"{key}.norm.weight"], p[f"{key}.norm.bias"],
+        num_groups=cfg.norm_num_groups, eps=cfg.transformer_norm_eps,
+    )
+    hs = hs.reshape(n, h * w, c)
+    hs = ops.linear(hs, p[f"{key}.proj_in.weight"], p[f"{key}.proj_in.bias"])
+    for k in range(layers):
+        hs = _transformer_block(
+            p, f"{key}.transformer_blocks.{k}", hs, context, num_heads,
+            cfg.transformer_norm_eps,
+        )
+    hs = ops.linear(hs, p[f"{key}.proj_out.weight"], p[f"{key}.proj_out.bias"])
+    return hs.reshape(n, h, w, c) + residual
+
+
+def _downsample(p, key: str, x):
+    return ops.conv2d(x, p[f"{key}.conv.weight"], p[f"{key}.conv.bias"], stride=2, padding=1)
+
+
+def _upsample(p, key: str, x):
+    n, h, w, c = x.shape
+    # nearest-neighbor 2x (broadcast, no gather — XLA lowers this to a cheap reshape)
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    x = x.reshape(n, h * 2, w * 2, c)
+    return ops.conv2d(x, p[f"{key}.conv.weight"], p[f"{key}.conv.bias"])
+
+
+def unet_apply(
+    cfg: UNetConfig,
+    params: dict[str, jax.Array],
+    sample: jax.Array,
+    timesteps: jax.Array,
+    encoder_hidden_states: jax.Array,
+    text_embeds: jax.Array,
+    time_ids: jax.Array,
+) -> jax.Array:
+    """One denoising forward pass.
+
+    sample: (B, H, W, C_in) NHWC latents; timesteps: (B,) or scalar;
+    encoder_hidden_states: (B, S, cross_attention_dim); text_embeds: (B, pooled);
+    time_ids: (B, 6). Returns predicted noise, same shape as sample.
+
+    I/O shape contract matches the reference benchmark driver
+    (``implementations/Diffusers/load_unet.py:28-34``) modulo NCHW->NHWC.
+    """
+    p = params
+    dtype = sample.dtype
+    if timesteps.ndim == 0:
+        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+    # --- time + added conditioning (reference unet_pt.py:469-488) ---
+    temb = ops.time_embed(
+        timesteps, dim=cfg.block_out_channels[0],
+        flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift,
+    ).astype(dtype)
+    temb = ops.linear(temb, p["time_embedding.linear_1.weight"], p["time_embedding.linear_1.bias"])
+    temb = ops.linear(
+        jax.nn.silu(temb), p["time_embedding.linear_2.weight"], p["time_embedding.linear_2.bias"]
+    )
+
+    tids = ops.time_embed(
+        time_ids.reshape(-1), dim=cfg.addition_time_embed_dim,
+        flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift,
+    ).astype(dtype)
+    tids = tids.reshape(sample.shape[0], -1)
+    add = jnp.concatenate([text_embeds.astype(dtype), tids], axis=-1)
+    add = ops.linear(add, p["add_embedding.linear_1.weight"], p["add_embedding.linear_1.bias"])
+    add = ops.linear(
+        jax.nn.silu(add), p["add_embedding.linear_2.weight"], p["add_embedding.linear_2.bias"]
+    )
+    temb = temb + add
+
+    ctx = encoder_hidden_states.astype(dtype)
+
+    # --- down path ---
+    h = ops.conv2d(sample, p["conv_in.weight"], p["conv_in.bias"])
+    skips = [h]
+    for i, btype in enumerate(cfg.down_block_types):
+        for j in range(cfg.layers_per_block):
+            h = _resnet(p, f"down_blocks.{i}.resnets.{j}", h, temb, cfg)
+            if btype == "CrossAttnDownBlock2D":
+                h = _transformer2d(
+                    p, f"down_blocks.{i}.attentions.{j}", h, ctx, cfg,
+                    cfg.transformer_layers_per_block[i],
+                )
+            skips.append(h)
+        if i < len(cfg.down_block_types) - 1:
+            h = _downsample(p, f"down_blocks.{i}.downsamplers.0", h)
+            skips.append(h)
+
+    # --- mid ---
+    h = _resnet(p, "mid_block.resnets.0", h, temb, cfg)
+    h = _transformer2d(
+        p, "mid_block.attentions.0", h, ctx, cfg, cfg.transformer_layers_per_block[-1]
+    )
+    h = _resnet(p, "mid_block.resnets.1", h, temb, cfg)
+
+    # --- up path ---
+    for i, btype in enumerate(cfg.up_block_types):
+        tf_layers = tuple(reversed(cfg.transformer_layers_per_block))[i]
+        for j in range(cfg.layers_per_block + 1):
+            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            h = _resnet(p, f"up_blocks.{i}.resnets.{j}", h, temb, cfg)
+            if btype == "CrossAttnUpBlock2D":
+                h = _transformer2d(p, f"up_blocks.{i}.attentions.{j}", h, ctx, cfg, tf_layers)
+        if i < len(cfg.up_block_types) - 1:
+            h = _upsample(p, f"up_blocks.{i}.upsamplers.0", h)
+
+    # --- out ---
+    h = ops.group_norm(
+        h, p["conv_norm_out.weight"], p["conv_norm_out.bias"],
+        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, act="silu",
+    )
+    return ops.conv2d(h, p["conv_out.weight"], p["conv_out.bias"])

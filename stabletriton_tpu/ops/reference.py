@@ -1,0 +1,223 @@
+"""Reference (pure jax.numpy / lax) implementations of every framework op.
+
+These are the "eager torch" analog: correct, simple, XLA-fused baselines. Every
+Pallas kernel in ``stabletriton_tpu.kernels`` is parity-tested against these to
+1e-3 elementwise — the same gate the reference repo applies between its Triton
+kernels and eager torch (e.g. reference ``src/stabletriton/kernels/geglu.py:37-43``).
+
+Layout conventions (TPU-native, not the reference's):
+  * images are NHWC (channels-last feeds the 128-lane VPU / MXU directly);
+  * conv weights are HWIO;
+  * linear weights are (in, out) so ``x @ w`` hits the MXU without transpose;
+  * norms/softmax accumulate in fp32 regardless of activation dtype.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stabletriton_tpu.ops.registry import register
+
+# ---------------------------------------------------------------------------
+# activations
+# ---------------------------------------------------------------------------
+
+_ACTIVATIONS = {
+    None: lambda x: x,
+    "silu": jax.nn.silu,
+    "gelu": partial(jax.nn.gelu, approximate=False),
+    "relu": jax.nn.relu,
+    "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+}
+
+
+def apply_activation(x: jax.Array, act: str | None) -> jax.Array:
+    try:
+        return _ACTIVATIONS[act](x)
+    except KeyError:
+        raise ValueError(f"unknown activation {act!r}; known: {list(_ACTIVATIONS)}")
+
+
+# ---------------------------------------------------------------------------
+# attention — reference analog: the 8-node unfused SDPA pattern that
+# StableTriton's fuse_attention matches (reference
+# src/stabletriton/optimizers/replace_attention.py:76-86)
+# ---------------------------------------------------------------------------
+
+
+@register("attention", "reference")
+def attention(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float | None = None):
+    """Scaled dot-product attention, non-causal.
+
+    q: (B, H, Sq, D); k, v: (B, H, Sk, D). Softmax in fp32.
+    """
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# group norm (+ optional fused activation) — reference kernel:
+# src/stabletriton/kernels/groupnorm.py (one program per (batch, group));
+# the TPU design computes moments over NHWC spatial tiles instead.
+# ---------------------------------------------------------------------------
+
+
+@register("group_norm", "reference")
+def group_norm(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    act: str | None = None,
+):
+    """GroupNorm over NHWC input; moments in fp32; optional fused activation."""
+    n, h, w, c = x.shape
+    assert c % num_groups == 0, (c, num_groups)
+    xg = x.reshape(n, h * w, num_groups, c // num_groups).astype(jnp.float32)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
+    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn.reshape(n, h, w, c)
+    out = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return apply_activation(out, act).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# layer norm — reference kernel: src/stabletriton/kernels/layer_norm.py
+# (Welford single-pass Triton); XLA fuses the two-pass formulation fine.
+# ---------------------------------------------------------------------------
+
+
+@register("layer_norm", "reference")
+def layer_norm(
+    x: jax.Array,
+    gamma: jax.Array | None,
+    beta: jax.Array | None,
+    *,
+    eps: float = 1e-5,
+):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if gamma is not None:
+        out = out * gamma.astype(jnp.float32)
+    if beta is not None:
+        out = out + beta.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# GEGLU — reference kernel: src/stabletriton/kernels/geglu.py:11-35
+# (elementwise state * gelu(gate), erf-based gelu)
+# ---------------------------------------------------------------------------
+
+
+@register("geglu", "reference")
+def geglu(state: jax.Array, gate: jax.Array):
+    """state * gelu(gate), exact (erf) gelu like the reference kernel."""
+    return state * jax.nn.gelu(gate, approximate=False).astype(state.dtype)
+
+
+# ---------------------------------------------------------------------------
+# linear (+ optional fused bias/activation) — reference kernel:
+# src/stabletriton/kernels/linear.py `sdxl_forward` (GEMM + bias + SiLU).
+# On TPU the MXU path through XLA dot is already optimal; the op exists so the
+# binding can A/B a Pallas fused variant (the reference's own plain-linear pass
+# was a *regression* and is disabled — optimization.py:18-21).
+# ---------------------------------------------------------------------------
+
+
+@register("linear", "reference")
+def linear(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    act: str | None = None,
+):
+    """x: (..., in), w: (in, out)."""
+    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    out = apply_activation(out, act)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# timestep sinusoidal embedding — reference kernel:
+# src/stabletriton/kernels/timestep.py (inductor-generated sin/cos pointwise).
+# Semantics follow the Diffusers `Timesteps` module SDXL uses.
+# ---------------------------------------------------------------------------
+
+
+@register("time_embed", "reference")
+def time_embed(
+    t: jax.Array,
+    *,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+):
+    """Sinusoidal embedding of (B,) timesteps -> (B, dim). fp32 output."""
+    half = dim // 2
+    exponent = -np.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# conv2d (+ bias + optional residual add) — the reference left conv on cuDNN
+# (its Triton convs were ~40x slower, Conv_Kernels/README.md:2). XLA's TPU conv
+# is the platform library here; the fused residual-add variant closes the
+# reference's documented gap at the op-boundary level (XLA fuses the epilogue).
+# ---------------------------------------------------------------------------
+
+
+@register("conv2d", "reference")
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    padding: int = 1,
+    residual: jax.Array | None = None,
+    act: str | None = None,
+):
+    """NHWC conv with HWIO weights; optional bias, residual add, activation."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    if residual is not None:
+        out = out + residual.astype(jnp.float32)
+    out = apply_activation(out, act)
+    return out.astype(x.dtype)
