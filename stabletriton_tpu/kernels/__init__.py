@@ -1,1 +1,19 @@
-"""Pallas TPU kernels; importing this package registers the "pallas" op backends."""
+"""Pallas TPU kernels; importing this package registers the "pallas" backends.
+
+Kernel inventory mirrors the reference's Triton kernel layer (SURVEY.md §2.5)
+redesigned for TPU:
+
+  flash_attention — fused non-causal flash attention (self + cross)
+  group_norm      — two-pass tiled GroupNorm with fused SiLU
+  layer_norm      — row-tiled fused LayerNorm
+  geglu           — fused state*gelu(gate)
+  time_embed      — fused sinusoidal timestep embedding
+"""
+
+from stabletriton_tpu.kernels import (  # noqa: F401
+    flash_attention,
+    geglu,
+    group_norm,
+    layer_norm,
+    time_embed,
+)

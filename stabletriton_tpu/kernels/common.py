@@ -1,0 +1,32 @@
+"""Shared kernel utilities: interpret-mode gating, padding/rounding helpers."""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+
+NEG_INF = float(-1e30)  # safe -inf stand-in (avoids nan from inf - inf)
+
+
+@functools.cache
+def interpret_mode() -> bool:
+    """Run Pallas kernels in interpreter mode off-TPU (CPU test mesh).
+
+    The reference repo had no fake backend at all (every kernel needed real
+    CUDA — SURVEY.md §4); interpret mode is how this framework's kernels stay
+    testable on the CPU mesh. Override with STABLETRITON_INTERPRET=0/1.
+    """
+    env = os.environ.get("STABLETRITON_INTERPRET")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() != "tpu"
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
