@@ -76,7 +76,7 @@ def _flash_kernel(
     )
     m_ref[...] = m_next
 
-    acc = acc_ref[...] * alpha[:, : acc_ref.shape[-1]]
+    acc = acc_ref[...] * alpha[:, :1]  # lane-broadcast (works for any head_dim)
     acc_ref[...] = acc + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -84,9 +84,7 @@ def _flash_kernel(
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[...] / l_ref[..., : acc_ref.shape[-1]].clip(1e-30)).astype(
-            o_ref.dtype
-        )
+        o_ref[0] = (acc_ref[...] / l_ref[..., :1].clip(1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(

@@ -1,0 +1,172 @@
+"""End-to-end SDXL txt2img pipeline as a single jitted XLA program.
+
+The reference's benchmarked path (SURVEY.md §3.4) was: host Python scheduler
+loop -> CUDA-graph replay per UNet step, with text encoders, CFG combine and
+VAE decode all eager *outside* the optimization envelope. Here the entire
+txt2img — dual CLIP encode, noise init, the full ``lax.scan`` denoise loop,
+and VAE decode — is one XLA executable per (resolution, steps, guidance,
+batch, solver) signature, cached exactly like the reference's dynamic
+CUDA-graph cache keyed on input signature
+(reference ``optimizers/cuda/graphs.py:19-30,193-209``).
+
+Tokenization is the only host-side step (token ids in, images out).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stabletriton_tpu import ops
+from stabletriton_tpu.compile import CompileConfig, resolve_binding
+from stabletriton_tpu.models import clip as clip_mod
+from stabletriton_tpu.models import vae as vae_mod
+from stabletriton_tpu.models.unet import UNetConfig, unet_apply
+from stabletriton_tpu.runtime import scheduler as sched
+from stabletriton_tpu.runtime.denoise import make_denoise_loop
+
+
+@dataclass
+class SDXLPipeline:
+    """Holds configs + params; compiles & caches one program per signature."""
+
+    unet_config: UNetConfig
+    clip_config: clip_mod.CLIPTextConfig
+    clip2_config: clip_mod.CLIPTextConfig
+    vae_config: vae_mod.VAEConfig
+    params: dict[str, dict[str, jax.Array]]  # keys: unet, text_encoder, text_encoder_2, vae
+    compile_config: CompileConfig = field(default_factory=CompileConfig)
+    scheduler_config: sched.SchedulerConfig = field(default_factory=sched.SchedulerConfig)
+    _cache: dict[Any, Any] = field(default_factory=dict, repr=False)
+
+    # ------------------------------------------------------------------
+    def _build(self, *, batch, height, width, steps, guidance_scale, solver,
+               return_latents):
+        """Trace+jit the full txt2img program for one signature."""
+        binding = resolve_binding(self.compile_config)
+        dtype = self.compile_config.jnp_dtype
+        schedule = sched.make_schedule(self.scheduler_config, steps)
+        ucfg = self.unet_config
+        lat_h, lat_w = height // 8, width // 8
+
+        def unet_step(unet_params, sample, t, ctx, text_embeds, time_ids):
+            return unet_apply(ucfg, unet_params, sample, t, ctx, text_embeds, time_ids)
+
+        loop = make_denoise_loop(
+            unet_step, schedule, guidance_scale=guidance_scale, solver=solver
+        )
+
+        def program(params, ids1, ids2, neg_ids1, neg_ids2, seed):
+            with ops.use_backends(binding):
+                # --- text encoding (cond + uncond), fp32 encoders ---
+                ids1_all = jnp.concatenate([neg_ids1, ids1], axis=0)
+                ids2_all = jnp.concatenate([neg_ids2, ids2], axis=0)
+                ctx, pooled = clip_mod.encode_sdxl_prompts(
+                    self.clip_config, params["text_encoder"],
+                    self.clip2_config, params["text_encoder_2"],
+                    ids1_all, ids2_all,
+                )
+                ctx = ctx.astype(dtype)
+                pooled = pooled.astype(dtype)
+
+                # --- SDXL micro-conditioning: [oh, ow, ct, cl, th, tw] ---
+                tid = jnp.asarray(
+                    [height, width, 0, 0, height, width], jnp.float32
+                )
+                time_ids = jnp.broadcast_to(tid, (2 * batch, 6))
+
+                # --- noise init on device ---
+                key = jax.random.PRNGKey(seed) if seed.ndim == 0 else seed
+                noise = jax.random.normal(
+                    key, (batch, lat_h, lat_w, ucfg.in_channels), jnp.float32
+                )
+                latents = (noise * schedule.init_noise_sigma).astype(dtype)
+
+                # --- the whole denoise loop, one scan ---
+                latents = loop(params["unet"], latents, ctx, pooled, time_ids)
+
+                if return_latents:
+                    return latents
+                # --- VAE decode (fp32 for stability) ---
+                vae_params = params["vae"]
+                img = vae_mod.vae_decode(
+                    self.vae_config, vae_params, latents.astype(jnp.float32)
+                )
+                return jnp.clip(img, -1.0, 1.0)
+
+        return jax.jit(program)
+
+    # ------------------------------------------------------------------
+    def txt2img(
+        self,
+        ids1: jax.Array,          # (B, 77) token ids, encoder 1
+        ids2: jax.Array,          # (B, 77) token ids, encoder 2
+        *,
+        neg_ids1: jax.Array | None = None,
+        neg_ids2: jax.Array | None = None,
+        height: int = 1024,
+        width: int = 1024,
+        steps: int = 30,
+        guidance_scale: float = 5.0,
+        solver: str = "euler",
+        seed: int = 0,
+        return_latents: bool = False,
+    ):
+        """Generate images; returns (B, height, width, 3) in [-1, 1]
+        (or final latents if return_latents)."""
+        batch = int(ids1.shape[0])
+        if neg_ids1 is None:
+            neg_ids1 = jnp.zeros_like(ids1)
+        if neg_ids2 is None:
+            neg_ids2 = jnp.zeros_like(ids2)
+        sig = (batch, height, width, steps, float(guidance_scale), solver,
+               return_latents)
+        fn = self._cache.get(sig)
+        if fn is None:
+            fn = self._build(
+                batch=batch, height=height, width=width, steps=steps,
+                guidance_scale=float(guidance_scale), solver=solver,
+                return_latents=return_latents,
+            )
+            self._cache[sig] = fn
+        return fn(self.params, ids1, ids2, neg_ids1, neg_ids2,
+                  jnp.asarray(seed, jnp.uint32))
+
+    def cache_signatures(self):
+        """Compiled-program signatures (the hash_arg cache-key analog)."""
+        return sorted(self._cache)
+
+
+def make_tiny_pipeline(compile_config: CompileConfig | None = None) -> SDXLPipeline:
+    """A structurally complete but tiny pipeline (CPU tests)."""
+    from stabletriton_tpu.models.unet import init_unet_params, tiny_unet_config
+
+    ucfg = tiny_unet_config()
+    # encoder widths must sum to cross_attention_dim; encoder 2 provides pooled
+    c1 = clip_mod.CLIPTextConfig(
+        vocab_size=100, hidden_size=ucfg.cross_attention_dim // 2,
+        num_layers=2, num_heads=4, intermediate_size=32,
+        max_position_embeddings=16, eos_token_id=99,
+    )
+    c2 = clip_mod.CLIPTextConfig(
+        vocab_size=100, hidden_size=ucfg.cross_attention_dim - c1.hidden_size,
+        num_layers=2, num_heads=4, intermediate_size=32,
+        max_position_embeddings=16, projection_dim=16, eos_token_id=99,
+    )
+    vcfg = vae_mod.tiny_vae_config()
+    params = {
+        "unet": init_unet_params(ucfg, 0),
+        "text_encoder": clip_mod.init_clip_params(c1, 1),
+        "text_encoder_2": clip_mod.init_clip_params(c2, 2),
+        "vae": vae_mod.init_vae_params(vcfg, 3),
+    }
+    return SDXLPipeline(
+        unet_config=ucfg, clip_config=c1, clip2_config=c2, vae_config=vcfg,
+        params=params,
+        compile_config=compile_config or CompileConfig(backend="reference", dtype="float32"),
+    )

@@ -1,0 +1,100 @@
+"""End-to-end pipeline tests on the tiny model stack (CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stabletriton_tpu.models import clip as clip_mod
+from stabletriton_tpu.models import vae as vae_mod
+from stabletriton_tpu.runtime.pipeline import make_tiny_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return make_tiny_pipeline()
+
+
+def _ids(pipe, b=1):
+    s = pipe.clip_config.max_position_embeddings
+    ids = np.full((b, s), 5, np.int32)
+    ids[:, 0] = 1
+    ids[:, -1] = 99  # eos
+    return jnp.asarray(ids), jnp.asarray(ids.copy())
+
+
+def test_clip_shapes(pipe):
+    ids1, ids2 = _ids(pipe, 2)
+    pen, final, pooled = clip_mod.clip_apply(
+        pipe.clip2_config, pipe.params["text_encoder_2"], ids2
+    )
+    d = pipe.clip2_config.hidden_size
+    assert pen.shape == (2, 16, d)
+    assert final.shape == (2, 16, d)
+    assert pooled.shape == (2, pipe.clip2_config.projection_dim)
+    ctx, pooled2 = clip_mod.encode_sdxl_prompts(
+        pipe.clip_config, pipe.params["text_encoder"],
+        pipe.clip2_config, pipe.params["text_encoder_2"],
+        ids1, ids2,
+    )
+    assert ctx.shape == (2, 16, pipe.unet_config.cross_attention_dim)
+    assert pooled2.shape == (2, 16)
+
+
+def test_clip_causality(pipe):
+    """Changing a later token must not affect earlier positions' features."""
+    ids1, _ = _ids(pipe, 1)
+    pen_a, _, _ = clip_mod.clip_apply(pipe.clip_config, pipe.params["text_encoder"], ids1)
+    ids_b = np.asarray(ids1).copy()
+    ids_b[:, 10] = 7  # mutate a later token
+    pen_b, _, _ = clip_mod.clip_apply(
+        pipe.clip_config, pipe.params["text_encoder"], jnp.asarray(ids_b)
+    )
+    np.testing.assert_allclose(
+        np.asarray(pen_a)[:, :10], np.asarray(pen_b)[:, :10], atol=1e-5
+    )
+    assert not np.allclose(np.asarray(pen_a)[:, 10:], np.asarray(pen_b)[:, 10:])
+
+
+def test_vae_decode_shape(pipe):
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.standard_normal((1, 8, 8, 4), dtype=np.float32))
+    img = vae_mod.vae_decode(pipe.vae_config, pipe.params["vae"], lat)
+    # tiny vae has 2 levels -> one 2x upsample
+    assert img.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_txt2img_end_to_end(pipe):
+    ids1, ids2 = _ids(pipe)
+    img = pipe.txt2img(ids1, ids2, height=32, width=32, steps=3, seed=7)
+    # tiny vae upsamples once: 32//8 = 4 latent -> 8 pixels
+    assert img.shape == (1, 8, 8, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    assert np.asarray(img).min() >= -1.0 and np.asarray(img).max() <= 1.0
+
+
+def test_txt2img_determinism_and_seed_sensitivity(pipe):
+    ids1, ids2 = _ids(pipe)
+    a = pipe.txt2img(ids1, ids2, height=32, width=32, steps=2, seed=1)
+    b = pipe.txt2img(ids1, ids2, height=32, width=32, steps=2, seed=1)
+    c = pipe.txt2img(ids1, ids2, height=32, width=32, steps=2, seed=2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_jit_cache_signatures(pipe):
+    ids1, ids2 = _ids(pipe)
+    pipe.txt2img(ids1, ids2, height=32, width=32, steps=2, seed=0)
+    pipe.txt2img(ids1, ids2, height=32, width=32, steps=2, seed=3)  # cache hit
+    n = len(pipe.cache_signatures())
+    pipe.txt2img(ids1, ids2, height=32, width=32, steps=2, seed=9)  # cache hit
+    assert len(pipe.cache_signatures()) == n
+    pipe.txt2img(ids1, ids2, height=32, width=32, steps=4, seed=0)  # new sig
+    assert len(pipe.cache_signatures()) == n + 1
+
+
+def test_txt2img_latents_path(pipe):
+    ids1, ids2 = _ids(pipe)
+    lat = pipe.txt2img(ids1, ids2, height=32, width=32, steps=2, seed=0,
+                       return_latents=True)
+    assert lat.shape == (1, 4, 4, 4)
