@@ -1,0 +1,89 @@
+"""Headline benchmark: SDXL-base UNet denoise throughput on one TPU chip.
+
+Replicates the reference's measurement protocol (SURVEY.md §6: warm up fully —
+autotune/capture excluded — then measure steady-state it/s) for the rebuild's
+headline metric: UNet denoising steps/second at 1024x1024, CFG batch 2, bf16.
+
+  baseline  = stock XLA binding (pure jax.numpy reference ops, jitted)
+  optimized = pallas binding (flash attention + fused kernels)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline = optimized_it_s / baseline_it_s (target >= 1.45x per BASELINE.md).
+
+Env knobs: BENCH_LATENT (default 128 = 1024² images), BENCH_STEPS (timed
+steps, default 12), BENCH_SOLO=reference|pallas to run a single binding.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _build(binding: str, lat: int):
+    import jax.numpy as jnp
+
+    from stabletriton_tpu.compile import CompileConfig, compile_unet
+    from stabletriton_tpu.models.unet import init_unet_params, sdxl_base_unet_config
+
+    cfg = sdxl_base_unet_config()
+    fn = compile_unet(cfg, CompileConfig(backend=binding, dtype="bfloat16"))
+    params = init_unet_params(cfg, 0, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    b = 2
+    args = (
+        jnp.asarray(rng.standard_normal((b, lat, lat, 4), dtype=np.float32), jnp.bfloat16),
+        jnp.full((b,), 500.0, jnp.float32),
+        jnp.asarray(rng.standard_normal((b, 77, 2048), dtype=np.float32), jnp.bfloat16),
+        jnp.asarray(rng.standard_normal((b, 1280), dtype=np.float32), jnp.bfloat16),
+        jnp.asarray(np.tile([lat * 8, lat * 8, 0, 0, lat * 8, lat * 8], (b, 1)).astype(np.float32)),
+    )
+    return fn, params, args
+
+
+def _measure(binding: str, lat: int, steps: int) -> float:
+    """Steady-state seconds/step for one binding (fresh build, chained calls)."""
+    fn, params, args = _build(binding, lat)
+    sample = args[0]
+
+    # warm-up: compile + a few steady-state iterations (the reference's
+    # "first full generation" analog)
+    out = fn(params, sample, *args[1:])
+    for _ in range(3):
+        out = fn(params, out, *args[1:])
+    _ = np.asarray(out[0, 0, 0])  # force completion
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(params, out, *args[1:])  # chained: no inter-step overlap
+    _ = np.asarray(out[0, 0, 0])
+    return (time.perf_counter() - t0) / steps
+
+
+def main():
+    lat = int(os.environ.get("BENCH_LATENT", "128"))
+    steps = int(os.environ.get("BENCH_STEPS", "12"))
+    solo = os.environ.get("BENCH_SOLO")
+
+    if solo:
+        s = _measure(solo, lat, steps)
+        print(json.dumps({
+            "metric": f"sdxl_unet_step_it_s_{solo}",
+            "value": round(1.0 / s, 4), "unit": "it/s", "vs_baseline": 1.0,
+        }))
+        return
+
+    t_ref = _measure("reference", lat, steps)
+    t_pal = _measure("pallas", lat, steps)
+    print(json.dumps({
+        "metric": "sdxl_unet_1024_denoise_throughput",
+        "value": round(1.0 / t_pal, 4),
+        "unit": "it/s",
+        "vs_baseline": round(t_ref / t_pal, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
