@@ -1,0 +1,109 @@
+"""Diffusers drop-in frontend: ``compile(pipe.unet)`` -> replacement UNet.
+
+The reference's working integration (reference
+``implementations/Diffusers/load_sdxl_pipeline.py:16-35``): build a traceable
+UNet, load the pipeline's weights, ``optimize_model`` it, splice it back with
+``pipe.unet = unet_new``. The TPU equivalent here gives torch users the same
+one-call splice: ``pipe.unet = stabletriton_tpu.frontends.diffusers.compile(pipe.unet)``
+returns a callable that ingests the torch module's config+weights once, runs
+every forward on TPU through the jitted pallas-bound UNet, and speaks the
+diffusers calling convention (NCHW sample, ``encoder_hidden_states``,
+``added_cond_kwargs={"text_embeds", "time_ids"}``, ``.config`` attribute,
+``return_dict`` result shim).
+
+For peak throughput use the native pipeline (runtime/pipeline.py) instead —
+this wrapper pays one host<->device round trip per UNet call, exactly like the
+reference paid one graph-replay dispatch per step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+from stabletriton_tpu.compile import CompileConfig, compile_unet
+from stabletriton_tpu.io.torch_ingest import state_dict_to_params, unet_config_from_diffusers
+
+
+@dataclass
+class _Output:
+    """Duck-types diffusers' UNet2DConditionOutput."""
+
+    sample: Any
+
+    def __getitem__(self, i):
+        return (self.sample,)[i]
+
+
+class CompiledUNet:
+    """Drop-in replacement for a diffusers SDXL UNet, executing on TPU."""
+
+    def __init__(self, torch_unet, compile_config: CompileConfig | None = None):
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.config = torch_unet.config  # diffusers pipeline reads this
+        self.unet_config = unet_config_from_diffusers(torch_unet.config)
+        self.compile_config = compile_config or CompileConfig()
+        np_params = state_dict_to_params(torch_unet, dtype=np.float32)
+        dtype = self.compile_config.jnp_dtype
+        self.params = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
+        self._fn = compile_unet(self.unet_config, self.compile_config)
+
+    @property
+    def dtype(self):
+        import torch
+
+        return torch.float32
+
+    @property
+    def device(self):
+        import torch
+
+        return torch.device("cpu")
+
+    def __call__(
+        self,
+        sample,
+        timestep,
+        encoder_hidden_states,
+        *,
+        added_cond_kwargs: dict | None = None,
+        return_dict: bool = True,
+        **_: Any,
+    ):
+        import torch
+
+        jnp = self._jnp
+        b = sample.shape[0]
+        # NCHW torch -> NHWC jax
+        s = jnp.asarray(
+            sample.detach().to(torch.float32).cpu().numpy().transpose(0, 2, 3, 1)
+        )
+        if not hasattr(timestep, "shape") or getattr(timestep, "ndim", 0) == 0:
+            t = jnp.full((b,), float(timestep), jnp.float32)
+        else:
+            t = jnp.asarray(
+                timestep.detach().to(torch.float32).cpu().numpy()
+            ).reshape(-1)
+            if t.shape[0] == 1:
+                t = jnp.broadcast_to(t, (b,))
+        ehs = jnp.asarray(encoder_hidden_states.detach().to(torch.float32).cpu().numpy())
+        acs = added_cond_kwargs or {}
+        te = jnp.asarray(acs["text_embeds"].detach().to(torch.float32).cpu().numpy())
+        ti = jnp.asarray(acs["time_ids"].detach().to(torch.float32).cpu().numpy())
+
+        out = self._fn(self.params, s, t, ehs, te, ti)
+        out_t = torch.from_numpy(
+            np.asarray(out.astype(jnp.float32)).transpose(0, 3, 1, 2).copy()
+        ).to(sample.dtype)
+        if return_dict:
+            return _Output(sample=out_t)
+        return (out_t,)
+
+
+def compile(torch_unet, compile_config: CompileConfig | None = None) -> CompiledUNet:
+    """The one-call API promised by the reference README (`model = compile(model)`)."""
+    return CompiledUNet(torch_unet, compile_config)

@@ -1,0 +1,123 @@
+"""Frontend tests: diffusers drop-in wrapper (duck-typed torch UNet), ComfyUI nodes."""
+
+import numpy as np
+import torch
+
+from stabletriton_tpu.compile import CompileConfig
+from stabletriton_tpu.models.unet import (
+    init_unet_params,
+    tiny_unet_config,
+    unet_apply,
+    unet_param_shapes,
+)
+
+
+class FakeTorchUNet:
+    """Duck-types the two things ingestion needs: .config and .state_dict()."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.config = {
+            "in_channels": cfg.in_channels,
+            "out_channels": cfg.out_channels,
+            "block_out_channels": list(cfg.block_out_channels),
+            "down_block_types": list(cfg.down_block_types),
+            "layers_per_block": cfg.layers_per_block,
+            "transformer_layers_per_block": list(cfg.transformer_layers_per_block),
+            "attention_head_dim": [c // cfg.attention_head_dim for c in cfg.block_out_channels],
+            "cross_attention_dim": cfg.cross_attention_dim,
+            "norm_num_groups": cfg.norm_num_groups,
+            "addition_time_embed_dim": cfg.addition_time_embed_dim,
+            "projection_class_embeddings_input_dim": cfg.projection_class_embeddings_input_dim,
+        }
+        rng = np.random.default_rng(0)
+        self._sd = {}
+        for name, shape in sorted(unet_param_shapes(cfg).items()):
+            # generate in *torch* layout (inverse of our transposes)
+            if name.endswith(".weight") and len(shape) == 2:
+                t_shape = (shape[1], shape[0])
+            elif len(shape) == 4:
+                t_shape = (shape[3], shape[2], shape[0], shape[1])
+            else:
+                t_shape = shape
+            self._sd[name] = torch.from_numpy(
+                (rng.standard_normal(t_shape) * 0.05).astype(np.float32)
+            )
+
+    def state_dict(self):
+        return self._sd
+
+
+def test_diffusers_compile_drop_in_matches_native():
+    """frontends.diffusers.compile(torch_unet) must equal unet_apply on the
+    ingested params — the whole capture+convert+execute chain, end to end."""
+    from stabletriton_tpu.frontends import diffusers as fe
+    from stabletriton_tpu.io.torch_ingest import state_dict_to_params
+
+    import jax.numpy as jnp
+
+    cfg = tiny_unet_config()
+    fake = FakeTorchUNet(cfg)
+    compiled = fe.compile(fake, CompileConfig(backend="reference", dtype="float32"))
+    assert compiled.unet_config == cfg
+
+    rng = np.random.default_rng(1)
+    b, hw = 2, 16
+    sample_t = torch.from_numpy(rng.standard_normal((b, 4, hw, hw)).astype(np.float32))
+    ehs_t = torch.from_numpy(
+        rng.standard_normal((b, 7, cfg.cross_attention_dim)).astype(np.float32)
+    )
+    te_t = torch.from_numpy(rng.standard_normal((b, 16)).astype(np.float32))
+    ti_t = torch.from_numpy(rng.standard_normal((b, 6)).astype(np.float32))
+
+    out = compiled(
+        sample_t, 500, ehs_t,
+        added_cond_kwargs={"text_embeds": te_t, "time_ids": ti_t},
+    )
+    assert out.sample.shape == (b, 4, hw, hw)
+
+    # native path on the same ingested params
+    params = {k: jnp.asarray(v) for k, v in
+              state_dict_to_params(fake, dtype=np.float32).items()}
+    native = unet_apply(
+        cfg, params,
+        jnp.asarray(np.asarray(sample_t).transpose(0, 2, 3, 1)),
+        jnp.full((b,), 500.0),
+        jnp.asarray(np.asarray(ehs_t)),
+        jnp.asarray(np.asarray(te_t)),
+        jnp.asarray(np.asarray(ti_t)),
+    )
+    np.testing.assert_allclose(
+        out.sample.numpy(),
+        np.asarray(native).transpose(0, 3, 1, 2),
+        atol=1e-4,
+    )
+
+
+def test_diffusers_wrapper_return_dict_false():
+    from stabletriton_tpu.frontends import diffusers as fe
+
+    cfg = tiny_unet_config()
+    compiled = fe.compile(FakeTorchUNet(cfg), CompileConfig(backend="reference", dtype="float32"))
+    rng = np.random.default_rng(2)
+    out = compiled(
+        torch.from_numpy(rng.standard_normal((1, 4, 16, 16)).astype(np.float32)),
+        torch.tensor([10.0]),
+        torch.zeros(1, 7, cfg.cross_attention_dim),
+        added_cond_kwargs={"text_embeds": torch.zeros(1, 16), "time_ids": torch.zeros(1, 6)},
+        return_dict=False,
+    )
+    assert isinstance(out, tuple) and out[0].shape == (1, 4, 16, 16)
+
+
+def test_comfyui_node_registry_importable():
+    from stabletriton_tpu.frontends import comfyui
+
+    nodes, names = comfyui.register()
+    assert "StableTritonTPUCompile" in nodes
+    assert "StableTritonTPUTxt2Img" in nodes
+    assert set(names) == set(nodes)
+    # INPUT_TYPES contracts exist without comfy installed
+    for cls in nodes.values():
+        spec = cls.INPUT_TYPES()
+        assert "required" in spec
