@@ -22,7 +22,8 @@ from stabletriton_tpu.ops.registry import register
 
 def _time_embed_kernel(t_ref, o_ref, *, half, max_period, shift, flip):
     b = t_ref.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.float32, (b, half), 1)
+    # Mosaic requires integer iota; cast after (fp32 exact up to 2^24)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, half), 1).astype(jnp.float32)
     freqs = jnp.exp(col * (-np.log(max_period) / (half - shift)))
     args = t_ref[...].astype(jnp.float32).reshape(b, 1) * freqs
     first, second = (jnp.cos(args), jnp.sin(args)) if flip else (jnp.sin(args), jnp.cos(args))

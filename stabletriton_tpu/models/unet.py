@@ -63,10 +63,25 @@ class UNetConfig:
     projection_class_embeddings_input_dim: int = 2816
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
+    # mid-block transformer depth; None = reuse the deepest cross-attn level's
+    # (SDXL-base: 10). The refiner needs this explicit (its last *down* level
+    # is conv-only but its mid block still has 4 transformer layers).
+    mid_block_layers: int | None = None
 
     @property
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * 4
+
+    @property
+    def mid_transformer_layers(self) -> int:
+        if self.mid_block_layers is not None:
+            return self.mid_block_layers
+        # deepest CrossAttn level's depth
+        depth = self.transformer_layers_per_block[0]
+        for t, d in zip(self.down_block_types, self.transformer_layers_per_block):
+            if t == "CrossAttnDownBlock2D":
+                depth = d
+        return depth
 
     @property
     def up_block_types(self) -> tuple[str, ...]:
@@ -80,6 +95,26 @@ class UNetConfig:
 
 def sdxl_base_unet_config() -> UNetConfig:
     return UNetConfig()
+
+
+def sdxl_refiner_unet_config() -> UNetConfig:
+    """SDXL-refiner topology (stabilityai/stable-diffusion-xl-refiner-1.0):
+    4 levels (384/768/1536/1536), outermost and innermost levels conv-only,
+    4 transformer layers per cross-attn level, 1280-wide cross attention,
+    2560-wide add_embedding (pooled 1280 + 5 time_ids x 256 — the refiner's
+    sixth micro-conditioning slot is the aesthetic score)."""
+    return UNetConfig(
+        block_out_channels=(384, 768, 1536, 1536),
+        down_block_types=(
+            "DownBlock2D",
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "DownBlock2D",
+        ),
+        transformer_layers_per_block=(1, 4, 4, 1),
+        cross_attention_dim=1280,
+        projection_class_embeddings_input_dim=2560,
+    )
 
 
 def tiny_unet_config() -> UNetConfig:
@@ -184,7 +219,7 @@ def unet_param_shapes(cfg: UNetConfig) -> dict[str, tuple[int, ...]]:
     cmid = cfg.block_out_channels[-1]
     _resnet_shapes(b, "mid_block.resnets.0", cmid, cmid, temb)
     _transformer_shapes(b, "mid_block.attentions.0", cmid, cfg,
-                        cfg.transformer_layers_per_block[-1])
+                        cfg.mid_transformer_layers)
     _resnet_shapes(b, "mid_block.resnets.1", cmid, cmid, temb)
 
     # up path (mirrors diffusers: layers_per_block + 1 resnets, skip-concat inputs)
@@ -423,7 +458,7 @@ def unet_apply(
     # --- mid ---
     h = _resnet(p, "mid_block.resnets.0", h, temb, cfg)
     h = _transformer2d(
-        p, "mid_block.attentions.0", h, ctx, cfg, cfg.transformer_layers_per_block[-1]
+        p, "mid_block.attentions.0", h, ctx, cfg, cfg.mid_transformer_layers
     )
     h = _resnet(p, "mid_block.resnets.1", h, temb, cfg)
 

@@ -141,6 +141,154 @@ class SDXLPipeline:
         """Compiled-program signatures (the hash_arg cache-key analog)."""
         return sorted(self._cache)
 
+    # ------------------------------------------------------------------
+    # img2img / refinement
+    # ------------------------------------------------------------------
+    def _build_img2img(self, *, batch, lat_h, lat_w, steps, start, guidance_scale,
+                       solver, aesthetic_scores, decode):
+        """Jit an img2img program: noise the input latents to sigma[start],
+        run the truncated schedule, optionally decode."""
+        binding = resolve_binding(self.compile_config)
+        dtype = self.compile_config.jnp_dtype
+        full = sched.make_schedule(self.scheduler_config, steps)
+        part = sched.Schedule(
+            timesteps=full.timesteps[start:],
+            sigmas=full.sigmas[start:],
+            init_noise_sigma=float(np.sqrt(full.sigmas[start] ** 2 + 1)),
+        )
+        ucfg = self.unet_config
+        five_ids = ucfg.projection_class_embeddings_input_dim == (
+            self.clip2_config.projection_dim or 0
+        ) + 5 * ucfg.addition_time_embed_dim
+
+        def unet_step(unet_params, sample, t, ctx, text_embeds, time_ids):
+            return unet_apply(ucfg, unet_params, sample, t, ctx, text_embeds, time_ids)
+
+        loop = make_denoise_loop(
+            unet_step, part, guidance_scale=guidance_scale, solver=solver
+        )
+
+        def program(params, latents_in, ids1, ids2, neg_ids1, neg_ids2, seed):
+            with ops.use_backends(binding):
+                ids2_all = jnp.concatenate([neg_ids2, ids2], axis=0)
+                h2, _, pooled = clip_mod.clip_apply(
+                    self.clip2_config, params["text_encoder_2"], ids2_all
+                )
+                if ids1 is not None and "text_encoder" in params:
+                    # dual-encoder conditioning (SDXL-base UNet as img2img)
+                    ids1_all = jnp.concatenate([neg_ids1, ids1], axis=0)
+                    h1, _, _ = clip_mod.clip_apply(
+                        self.clip_config, params["text_encoder"], ids1_all
+                    )
+                    ctx = jnp.concatenate([h1, h2], axis=-1)
+                else:
+                    # refiner conditions on the bigG encoder alone
+                    ctx = h2
+                ctx = ctx.astype(dtype)
+                pooled = pooled.astype(dtype)
+
+                height, width = lat_h * 8, lat_w * 8
+                if five_ids:
+                    # refiner micro-conditioning: [oh, ow, ct, cl, aesthetic]
+                    tid = jnp.stack([
+                        jnp.asarray([height, width, 0, 0, s], jnp.float32)
+                        for s in aesthetic_scores
+                    ])  # (2, 5): uncond, cond rows
+                    time_ids = jnp.repeat(tid, batch, axis=0)
+                else:
+                    tid = jnp.asarray([height, width, 0, 0, height, width], jnp.float32)
+                    time_ids = jnp.broadcast_to(tid, (2 * batch, 6))
+
+                key = jax.random.PRNGKey(seed) if seed.ndim == 0 else seed
+                noise = jax.random.normal(key, latents_in.shape, jnp.float32)
+                sigma0 = part.sigmas[0]
+                latents = (latents_in.astype(jnp.float32) + noise * sigma0).astype(dtype)
+
+                latents = loop(params["unet"], latents, ctx, pooled, time_ids)
+                if not decode:
+                    return latents
+                img = vae_mod.vae_decode(
+                    self.vae_config, params["vae"], latents.astype(jnp.float32)
+                )
+                return jnp.clip(img, -1.0, 1.0)
+
+        return jax.jit(program)
+
+    def img2img(
+        self,
+        latents: jax.Array,       # (B, h, w, 4) clean (scaled) latents
+        ids1: jax.Array | None,   # encoder-1 ids, or None for single-encoder models
+        ids2: jax.Array,
+        *,
+        neg_ids1: jax.Array | None = None,
+        neg_ids2: jax.Array | None = None,
+        steps: int = 30,
+        strength: float = 0.3,
+        guidance_scale: float = 5.0,
+        solver: str = "euler",
+        seed: int = 0,
+        aesthetic_scores: tuple[float, float] = (2.5, 6.0),  # (uncond, cond)
+        decode: bool = True,
+    ):
+        """Refine existing latents (SDXL refiner / img2img): re-noise to the
+        strength point of the schedule and denoise the remaining steps."""
+        batch, lat_h, lat_w, _ = latents.shape
+        start = min(max(steps - int(round(steps * strength)), 0), steps - 1)
+        if neg_ids1 is None and ids1 is not None:
+            neg_ids1 = jnp.zeros_like(ids1)
+        if neg_ids2 is None:
+            neg_ids2 = jnp.zeros_like(ids2)
+        sig = ("i2i", batch, lat_h, lat_w, steps, start, float(guidance_scale),
+               solver, aesthetic_scores, decode)
+        fn = self._cache.get(sig)
+        if fn is None:
+            fn = self._build_img2img(
+                batch=batch, lat_h=lat_h, lat_w=lat_w, steps=steps, start=start,
+                guidance_scale=float(guidance_scale), solver=solver,
+                aesthetic_scores=aesthetic_scores, decode=decode,
+            )
+            self._cache[sig] = fn
+        return fn(self.params, latents, ids1, ids2, neg_ids1, neg_ids2,
+                  jnp.asarray(seed, jnp.uint32))
+
+
+@dataclass
+class TwoStageSDXL:
+    """Base + refiner expert-ensemble (BASELINE config #4): the base model
+    denoises the first (1 - strength) of the schedule, the refiner finishes
+    the tail from the base's latents and decodes. Both stages are whole-loop
+    jitted programs; the hand-off is one on-device latent tensor."""
+
+    base: SDXLPipeline
+    refiner: SDXLPipeline
+
+    def txt2img(
+        self,
+        ids1: jax.Array,
+        ids2: jax.Array,
+        *,
+        neg_ids1: jax.Array | None = None,
+        neg_ids2: jax.Array | None = None,
+        height: int = 1024,
+        width: int = 1024,
+        steps: int = 30,
+        refiner_strength: float = 0.25,
+        guidance_scale: float = 5.0,
+        solver: str = "euler",
+        seed: int = 0,
+    ):
+        latents = self.base.txt2img(
+            ids1, ids2, neg_ids1=neg_ids1, neg_ids2=neg_ids2,
+            height=height, width=width, steps=steps,
+            guidance_scale=guidance_scale, solver=solver, seed=seed,
+            return_latents=True,
+        )
+        return self.refiner.img2img(
+            latents, None, ids2, neg_ids2=neg_ids2, steps=steps,
+            strength=refiner_strength, guidance_scale=guidance_scale,
+            solver=solver, seed=seed + 1,
+        )
+
 
 def make_tiny_pipeline(compile_config: CompileConfig | None = None) -> SDXLPipeline:
     """A structurally complete but tiny pipeline (CPU tests)."""
@@ -167,6 +315,43 @@ def make_tiny_pipeline(compile_config: CompileConfig | None = None) -> SDXLPipel
     }
     return SDXLPipeline(
         unet_config=ucfg, clip_config=c1, clip2_config=c2, vae_config=vcfg,
+        params=params,
+        compile_config=compile_config or CompileConfig(backend="reference", dtype="float32"),
+    )
+
+
+def make_tiny_refiner_pipeline(
+    compile_config: CompileConfig | None = None,
+) -> SDXLPipeline:
+    """Tiny refiner-shaped pipeline: single text encoder, 5-slot time_ids
+    (aesthetic-score conditioning), conv-only innermost level."""
+    from stabletriton_tpu.models.unet import UNetConfig, init_unet_params
+
+    c2 = clip_mod.CLIPTextConfig(
+        vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=32, max_position_embeddings=16, projection_dim=16,
+        eos_token_id=99,
+    )
+    ucfg = UNetConfig(
+        block_out_channels=(32, 64, 64),
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D"),
+        layers_per_block=1,
+        transformer_layers_per_block=(1, 1, 1),
+        attention_head_dim=16,
+        cross_attention_dim=32,          # bigG features alone
+        norm_num_groups=8,
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=16 + 5 * 8,  # pooled + 5 time_ids
+        mid_block_layers=1,
+    )
+    vcfg = vae_mod.tiny_vae_config()
+    params = {
+        "unet": init_unet_params(ucfg, 10),
+        "text_encoder_2": clip_mod.init_clip_params(c2, 11),
+        "vae": vae_mod.init_vae_params(vcfg, 12),
+    }
+    return SDXLPipeline(
+        unet_config=ucfg, clip_config=c2, clip2_config=c2, vae_config=vcfg,
         params=params,
         compile_config=compile_config or CompileConfig(backend="reference", dtype="float32"),
     )

@@ -1,0 +1,67 @@
+"""Refiner / img2img / two-stage pipeline tests (CPU, tiny configs)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stabletriton_tpu.models.unet import (
+    init_unet_params,
+    sdxl_refiner_unet_config,
+    unet_param_shapes,
+)
+from stabletriton_tpu.runtime.pipeline import (
+    TwoStageSDXL,
+    make_tiny_pipeline,
+    make_tiny_refiner_pipeline,
+)
+
+
+def test_refiner_config_structure():
+    cfg = sdxl_refiner_unet_config()
+    shapes = unet_param_shapes(cfg)
+    total = sum(int(np.prod(s)) for s in shapes.values())
+    assert 2.2e9 < total < 2.35e9  # ~2.3B refiner UNet
+    # conv-only innermost down level, but the mid block still has transformers
+    assert "down_blocks.3.attentions.0.norm.weight" not in shapes
+    assert "mid_block.attentions.0.transformer_blocks.3.attn1.to_q.weight" in shapes
+    assert cfg.mid_transformer_layers == 4
+    # refiner conditions on bigG alone
+    assert shapes["down_blocks.1.attentions.0.transformer_blocks.0.attn2.to_k.weight"] == (1280, 768)
+
+
+@pytest.fixture(scope="module")
+def refiner():
+    return make_tiny_refiner_pipeline()
+
+
+def _ids(b=1):
+    ids = np.full((b, 16), 5, np.int32)
+    ids[:, -1] = 99
+    return jnp.asarray(ids)
+
+
+def test_img2img_refine(refiner):
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.standard_normal((1, 4, 4, 4), dtype=np.float32))
+    img = refiner.img2img(latents, None, _ids(), steps=4, strength=0.5, seed=3)
+    assert img.shape == (1, 8, 8, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_img2img_strength_truncates_schedule(refiner):
+    rng = np.random.default_rng(1)
+    latents = jnp.asarray(rng.standard_normal((1, 4, 4, 4), dtype=np.float32))
+    refiner.img2img(latents, None, _ids(), steps=8, strength=0.25, seed=0, decode=False)
+    sigs = [s for s in refiner.cache_signatures() if s[0] == "i2i"]
+    # strength 0.25 of 8 steps -> start index 6 (2 steps run)
+    assert any(s[4] == 8 and s[5] == 6 for s in sigs)
+
+
+def test_two_stage_pipeline():
+    base = make_tiny_pipeline()
+    refiner = make_tiny_refiner_pipeline()
+    two = TwoStageSDXL(base=base, refiner=refiner)
+    ids = _ids()
+    img = two.txt2img(ids, ids, height=32, width=32, steps=3, refiner_strength=0.34)
+    assert img.shape == (1, 8, 8, 3)
+    assert np.isfinite(np.asarray(img)).all()
