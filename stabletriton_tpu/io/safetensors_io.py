@@ -63,9 +63,10 @@ def read_safetensors(path: str | Path) -> dict[str, np.ndarray]:
         raw = data[start:end]
         dt = info["dtype"]
         if dt == "BF16":
-            # widen bf16 -> fp32: place the 16 stored bits in the high half
-            u16 = raw.view(np.uint16).astype(np.uint32) << 16
-            arr = u16.view(np.float32).reshape(shape)
+            # widen bf16 -> fp32 (native/src/convert.cpp when built)
+            from stabletriton_tpu import native
+
+            arr = native.bf16_to_f32(raw.view(np.uint16)).reshape(shape)
         else:
             np_dt = _DTYPES[dt]
             if np_dt is None:
@@ -81,10 +82,12 @@ def to_framework_layout(name: str, arr: np.ndarray) -> np.ndarray:
         return arr
     if "embedding" in name.rsplit(".", 2)[-2]:
         return arr  # token/position embeddings stay (vocab, d)
+    from stabletriton_tpu import native
+
     if arr.ndim == 2:
-        return np.ascontiguousarray(arr.T)
+        return native.transpose_2d(arr)
     if arr.ndim == 4:
-        return np.ascontiguousarray(arr.transpose(2, 3, 1, 0))  # OIHW -> HWIO
+        return native.oihw_to_hwio(arr)  # OIHW -> HWIO
     return arr
 
 
