@@ -44,22 +44,35 @@ def _build(binding: str, lat: int):
 
 
 def _measure(binding: str, lat: int, steps: int) -> float:
-    """Steady-state seconds/step for one binding (fresh build, chained calls)."""
+    """Steady-state seconds/step for one binding.
+
+    Timing methodology for the tunneled TPU platform: chained calls (step N's
+    input is step N-1's output, so nothing overlaps or caches) with a forced
+    host readback, measured at two chain lengths; the slope removes the fixed
+    dispatch+readback overhead. block_until_ready alone does NOT reliably
+    fence on this platform.
+    """
     fn, params, args = _build(binding, lat)
     sample = args[0]
 
-    # warm-up: compile + a few steady-state iterations (the reference's
-    # "first full generation" analog)
+    # warm-up: compile + steady state (the reference's "first generation")
     out = fn(params, sample, *args[1:])
-    for _ in range(3):
+    for _ in range(2):
         out = fn(params, out, *args[1:])
     _ = np.asarray(out[0, 0, 0])  # force completion
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(params, out, *args[1:])  # chained: no inter-step overlap
-    _ = np.asarray(out[0, 0, 0])
-    return (time.perf_counter() - t0) / steps
+    def chain(n):
+        o = out
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = fn(params, o, *args[1:])
+        _ = np.asarray(o[0, 0, 0])
+        return time.perf_counter() - t0
+
+    n_short = max(2, steps // 4)
+    t_short = chain(n_short)
+    t_long = chain(steps)
+    return (t_long - t_short) / (steps - n_short)
 
 
 def main():

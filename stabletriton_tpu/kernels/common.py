@@ -30,3 +30,15 @@ def round_up(x: int, m: int) -> int:
 
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def rows_for_budget(
+    cols: int, itemsize: int, *, n_buffers: int, budget_bytes: int = 6 << 20,
+    max_rows: int = 1024,
+) -> int:
+    """Largest multiple-of-8 row-block that keeps n_buffers double-buffered
+    (cols-wide) blocks under the VMEM budget (~16 MB total per core)."""
+    per_row = cols * itemsize * n_buffers * 2  # x2: Pallas double-buffers
+    rows = budget_bytes // max(per_row, 1)
+    rows = min(max_rows, max(8, (rows // 8) * 8))
+    return rows

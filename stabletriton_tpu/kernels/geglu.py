@@ -14,14 +14,26 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from stabletriton_tpu.kernels.common import interpret_mode, round_up
+from stabletriton_tpu.kernels.common import interpret_mode, round_up, rows_for_budget
 from stabletriton_tpu.ops.registry import register
+
+
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7) — Mosaic has no
+    native erf lowering, so the kernel carries its own."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
 def _geglu_kernel(state_ref, gate_ref, o_ref):
     gate = gate_ref[...].astype(jnp.float32)
-    # exact gelu, like the reference kernel: 0.5 * g * (1 + erf(g / sqrt(2)))
-    act = 0.5 * gate * (1.0 + jax.lax.erf(gate * (2.0**-0.5)))
+    # erf-based (exact) gelu, like the reference kernel: 0.5*g*(1+erf(g/sqrt2))
+    act = 0.5 * gate * (1.0 + _erf(gate * (2.0**-0.5)))
     o_ref[...] = (state_ref[...].astype(jnp.float32) * act).astype(o_ref.dtype)
 
 
@@ -30,7 +42,7 @@ def geglu(
     state: jax.Array,
     gate: jax.Array,
     *,
-    block_rows: int = 1024,
+    block_rows: int | None = None,
     interpret: bool | None = None,
 ):
     if interpret is None:
@@ -42,6 +54,8 @@ def geglu(
     sf = state.reshape(rows, c)
     gf = gate.reshape(rows, c)
 
+    if block_rows is None:
+        block_rows = rows_for_budget(c, state.dtype.itemsize, n_buffers=3)
     block_rows = min(block_rows, round_up(rows, 8))
     rows_p = round_up(rows, block_rows)
     if rows_p != rows:

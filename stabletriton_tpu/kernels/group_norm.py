@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from stabletriton_tpu.kernels.common import cdiv, interpret_mode, round_up
+from stabletriton_tpu.kernels.common import cdiv, interpret_mode, round_up, rows_for_budget
 from stabletriton_tpu.ops.registry import register
 
 
@@ -47,8 +47,8 @@ def _stats_kernel(x_ref, sum_ref, sq_ref, acc_sum, acc_sq):
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _emit():
-        sum_ref[...] = acc_sum[...]
-        sq_ref[...] = acc_sq[...]
+        sum_ref[0] = acc_sum[...]
+        sq_ref[0] = acc_sq[...]
 
 
 def _apply_kernel(x_ref, scale_ref, shift_ref, o_ref, *, act):
@@ -70,7 +70,7 @@ def group_norm(
     num_groups: int = 32,
     eps: float = 1e-5,
     act: str | None = None,
-    block_rows: int = 512,
+    block_rows: int | None = None,
     interpret: bool | None = None,
 ):
     """x: (N, H, W, C) NHWC -> same shape, optional fused SiLU."""
@@ -81,23 +81,27 @@ def group_norm(
     rows = h * w
     xf = x.reshape(n, rows, c)
 
+    if block_rows is None:
+        block_rows = rows_for_budget(c, x.dtype.itemsize, n_buffers=2, max_rows=2048)
     block_rows = min(block_rows, round_up(rows, 8))
     rows_p = round_up(rows, block_rows)
     if rows_p != rows:
         xf = jnp.pad(xf, ((0, 0), (0, rows_p - rows), (0, 0)))
     grid = (n, rows_p // block_rows)
 
+    # (n, 1, c) output layout: TPU block shapes must have their last two dims
+    # divisible by (8, 128) or equal to the array dims — (1, 1, c) qualifies.
     sums, sqs = pl.pallas_call(
         _stats_kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((1, block_rows, c), lambda i, t: (i, t, 0))],
         out_specs=[
-            pl.BlockSpec((1, c), lambda i, t: (i, 0)),
-            pl.BlockSpec((1, c), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, t: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, c), jnp.float32),
@@ -110,6 +114,7 @@ def group_norm(
     )(xf)
 
     # group-level moments + affine fold: (N, C)-sized math, XLA territory
+    sums, sqs = sums[:, 0], sqs[:, 0]
     cnt = rows * (c // num_groups)
     gsum = jnp.sum(sums.reshape(n, num_groups, -1), axis=-1, keepdims=True)
     gsq = jnp.sum(sqs.reshape(n, num_groups, -1), axis=-1, keepdims=True)
@@ -121,13 +126,15 @@ def group_norm(
     scale = rstd * gamma.astype(jnp.float32)[None, :]
     shift = beta.astype(jnp.float32)[None, :] - mean * scale
 
+    scale = scale[:, None]  # (n, 1, c) for the same block-shape rule
+    shift = shift[:, None]
     out = pl.pallas_call(
         functools.partial(_apply_kernel, act=act),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_rows, c), lambda i, t: (i, t, 0)),
-            pl.BlockSpec((1, c), lambda i, t: (i, 0)),
-            pl.BlockSpec((1, c), lambda i, t: (i, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, t: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_rows, c), lambda i, t: (i, t, 0)),
         out_shape=jax.ShapeDtypeStruct((n, rows_p, c), x.dtype),

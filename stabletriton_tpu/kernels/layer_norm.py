@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from stabletriton_tpu.kernels.common import interpret_mode, round_up
+from stabletriton_tpu.kernels.common import interpret_mode, round_up, rows_for_budget
 from stabletriton_tpu.ops.registry import register
 
 
@@ -37,7 +37,7 @@ def layer_norm(
     beta: jax.Array,
     *,
     eps: float = 1e-5,
-    block_rows: int = 1024,
+    block_rows: int | None = None,
     interpret: bool | None = None,
 ):
     """x: (..., C); normalizes the last axis."""
@@ -50,6 +50,8 @@ def layer_norm(
         rows *= s
     xf = x.reshape(rows, c)
 
+    if block_rows is None:
+        block_rows = rows_for_budget(c, x.dtype.itemsize, n_buffers=2)
     block_rows = min(block_rows, round_up(rows, 8))
     rows_p = round_up(rows, block_rows)
     if rows_p != rows:

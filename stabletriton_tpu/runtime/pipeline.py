@@ -29,6 +29,7 @@ from stabletriton_tpu.models import vae as vae_mod
 from stabletriton_tpu.models.unet import UNetConfig, unet_apply
 from stabletriton_tpu.runtime import scheduler as sched
 from stabletriton_tpu.runtime.denoise import make_denoise_loop
+from stabletriton_tpu.runtime.profiling import logger as _logger
 
 
 @dataclass
@@ -128,6 +129,9 @@ class SDXLPipeline:
                return_latents)
         fn = self._cache.get(sig)
         if fn is None:
+            # one INFO per new signature — the reference logged one line per
+            # CUDA-graph capture the same way (graphs.py:25-27)
+            _logger.info("compiling txt2img program for signature %s", sig)
             fn = self._build(
                 batch=batch, height=height, width=width, steps=steps,
                 guidance_scale=float(guidance_scale), solver=solver,
@@ -242,6 +246,7 @@ class SDXLPipeline:
                solver, aesthetic_scores, decode)
         fn = self._cache.get(sig)
         if fn is None:
+            _logger.info("compiling img2img program for signature %s", sig)
             fn = self._build_img2img(
                 batch=batch, lat_h=lat_h, lat_w=lat_w, steps=steps, start=start,
                 guidance_scale=float(guidance_scale), solver=solver,
