@@ -1,0 +1,111 @@
+"""Assemble a full SDXLPipeline from a Diffusers-layout checkpoint directory.
+
+Expected layout (what ``StableDiffusionXLPipeline.save_pretrained`` writes and
+every SDXL distribution mirrors — the reference pulled the same files through
+``DiffusionPipeline.from_pretrained`` + torch, SURVEY.md §5 "Checkpoint"):
+
+    root/
+      unet/diffusion_pytorch_model.safetensors        (+ config.json)
+      vae/diffusion_pytorch_model.safetensors
+      text_encoder/model.safetensors
+      text_encoder_2/model.safetensors
+      tokenizer/{vocab.json, merges.txt}
+      tokenizer_2/{vocab.json, merges.txt}
+
+Multi-shard checkpoints (model-00001-of-0000N.safetensors) are concatenated.
+Everything loads torch-free through the native safetensors reader.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from stabletriton_tpu.compile import CompileConfig
+from stabletriton_tpu.io.safetensors_io import (
+    convert_state_dict,
+    read_safetensors,
+    validate_against_shapes,
+)
+from stabletriton_tpu.io.tokenizer import CLIPTokenizer
+from stabletriton_tpu.models import clip as clip_mod
+from stabletriton_tpu.models import vae as vae_mod
+from stabletriton_tpu.models.unet import UNetConfig, unet_param_shapes
+
+
+def _read_component(comp_dir: Path) -> dict[str, np.ndarray]:
+    files = sorted(comp_dir.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {comp_dir}")
+    sd: dict[str, np.ndarray] = {}
+    for f in files:
+        sd.update(read_safetensors(f))
+    return sd
+
+
+def load_component(comp_dir: str | Path, *, dtype=None,
+                   expected: dict | None = None) -> dict[str, np.ndarray]:
+    params = convert_state_dict(_read_component(Path(comp_dir)), dtype=dtype)
+    if expected is not None:
+        validate_against_shapes(params, expected)
+    return params
+
+
+def unet_config_from_json(config_path: Path) -> UNetConfig:
+    from stabletriton_tpu.io.torch_ingest import unet_config_from_diffusers
+
+    return unet_config_from_diffusers(json.loads(config_path.read_text()))
+
+
+def load_sdxl(
+    root: str | Path,
+    *,
+    compile_config: CompileConfig | None = None,
+    dtype=np.float32,
+    validate: bool = True,
+):
+    """Returns (SDXLPipeline, tokenizer1, tokenizer2)."""
+    from stabletriton_tpu.runtime.pipeline import SDXLPipeline
+
+    root = Path(root)
+    ucfg_path = root / "unet" / "config.json"
+    ucfg = unet_config_from_json(ucfg_path) if ucfg_path.exists() else UNetConfig()
+    c1 = clip_mod.sdxl_text_encoder_config()
+    c2 = clip_mod.sdxl_text_encoder_2_config()
+    vcfg = vae_mod.sdxl_vae_config()
+
+    import jax.numpy as jnp
+
+    cc = compile_config or CompileConfig()
+
+    def as_jnp(d, cast_dtype):
+        return {k: jnp.asarray(v, cast_dtype) for k, v in d.items()}
+
+    params = {
+        "unet": as_jnp(
+            load_component(
+                root / "unet", dtype=dtype,
+                expected=unet_param_shapes(ucfg) if validate else None,
+            ),
+            cc.jnp_dtype,
+        ),
+        # encoders + VAE run fp32 (fidelity; they are a tiny fraction of FLOPs)
+        "text_encoder": as_jnp(load_component(root / "text_encoder", dtype=dtype), jnp.float32),
+        "text_encoder_2": as_jnp(load_component(root / "text_encoder_2", dtype=dtype), jnp.float32),
+        "vae": as_jnp(load_component(root / "vae", dtype=dtype), jnp.float32),
+    }
+    # VAE: keep only decoder-side tensors (encoder unused for txt2img)
+    decoder_keys = set(vae_mod.vae_decoder_param_shapes(vcfg))
+    params["vae"] = {k: v for k, v in params["vae"].items() if k in decoder_keys}
+
+    pipe = SDXLPipeline(
+        unet_config=ucfg, clip_config=c1, clip2_config=c2, vae_config=vcfg,
+        params=params, compile_config=cc,
+    )
+    tok1 = CLIPTokenizer(root / "tokenizer" / "vocab.json",
+                         root / "tokenizer" / "merges.txt")
+    tok2 = CLIPTokenizer(root / "tokenizer_2" / "vocab.json",
+                         root / "tokenizer_2" / "merges.txt")
+    return pipe, tok1, tok2

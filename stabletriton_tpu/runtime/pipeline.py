@@ -32,6 +32,14 @@ from stabletriton_tpu.runtime.denoise import make_denoise_loop
 from stabletriton_tpu.runtime.profiling import logger as _logger
 
 
+def _seed_vector(seed, batch: int) -> jnp.ndarray:
+    """int -> (batch,) uint32 seeds (seed+i per image); arrays pass through."""
+    arr = np.asarray(seed)
+    if arr.ndim == 0:
+        arr = int(arr) + np.arange(batch)
+    return jnp.asarray(np.asarray(arr, np.uint32))
+
+
 @dataclass
 class SDXLPipeline:
     """Holds configs + params; compiles & caches one program per signature."""
@@ -81,11 +89,14 @@ class SDXLPipeline:
                 )
                 time_ids = jnp.broadcast_to(tid, (2 * batch, 6))
 
-                # --- noise init on device ---
-                key = jax.random.PRNGKey(seed) if seed.ndim == 0 else seed
-                noise = jax.random.normal(
-                    key, (batch, lat_h, lat_w, ucfg.in_channels), jnp.float32
-                )
+                # --- noise init on device, one key per image: batching a
+                # request never changes its image (serving determinism) ---
+                keys = jax.vmap(jax.random.PRNGKey)(seed)
+                noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        k, (lat_h, lat_w, ucfg.in_channels), jnp.float32
+                    )
+                )(keys)
                 latents = (noise * schedule.init_noise_sigma).astype(dtype)
 
                 # --- the whole denoise loop, one scan ---
@@ -139,7 +150,7 @@ class SDXLPipeline:
             )
             self._cache[sig] = fn
         return fn(self.params, ids1, ids2, neg_ids1, neg_ids2,
-                  jnp.asarray(seed, jnp.uint32))
+                  _seed_vector(seed, batch))
 
     def cache_signatures(self):
         """Compiled-program signatures (the hash_arg cache-key analog)."""
@@ -203,8 +214,10 @@ class SDXLPipeline:
                     tid = jnp.asarray([height, width, 0, 0, height, width], jnp.float32)
                     time_ids = jnp.broadcast_to(tid, (2 * batch, 6))
 
-                key = jax.random.PRNGKey(seed) if seed.ndim == 0 else seed
-                noise = jax.random.normal(key, latents_in.shape, jnp.float32)
+                keys = jax.vmap(jax.random.PRNGKey)(seed)
+                noise = jax.vmap(
+                    lambda k: jax.random.normal(k, latents_in.shape[1:], jnp.float32)
+                )(keys)
                 sigma0 = part.sigmas[0]
                 latents = (latents_in.astype(jnp.float32) + noise * sigma0).astype(dtype)
 
@@ -254,7 +267,7 @@ class SDXLPipeline:
             )
             self._cache[sig] = fn
         return fn(self.params, latents, ids1, ids2, neg_ids1, neg_ids2,
-                  jnp.asarray(seed, jnp.uint32))
+                  _seed_vector(seed, batch))
 
 
 @dataclass

@@ -1,0 +1,72 @@
+"""Serving engine tests: dynamic batching, determinism, mixed signatures."""
+
+import numpy as np
+import pytest
+
+from stabletriton_tpu.runtime.pipeline import make_tiny_pipeline
+from stabletriton_tpu.runtime.serving import Request, ServingEngine, _bucket
+
+
+class IdentityTok:
+    """Maps prompts to deterministic token ids without vocab files."""
+
+    def encode_batch(self, texts, *, max_len=16, pad=0, **kw):
+        out = np.full((len(texts), max_len), pad, np.int32)
+        for i, t in enumerate(texts):
+            ids = [1] + [(ord(c) % 90) + 5 for c in t[: max_len - 2]] + [99]
+            out[i, : len(ids)] = ids
+        return out
+
+
+def test_bucket_sizes():
+    assert [_bucket(n) for n in (1, 2, 3, 4, 5, 8, 20)] == [1, 2, 4, 4, 8, 8, 8]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    pipe = make_tiny_pipeline()
+    eng = ServingEngine(pipe, IdentityTok(), IdentityTok(), max_wait_s=0.2)
+    yield eng
+    eng.close()
+
+
+def test_single_request(engine):
+    img = engine.generate("a cat", height=32, width=32, steps=2, seed=7)
+    assert img.shape == (8, 8, 3)
+
+
+def test_batching_and_per_request_determinism(engine):
+    kw = dict(height=32, width=32, steps=2)
+    # solo run
+    solo = engine.generate("a dog", seed=11, **kw)
+    # batched with three other prompts (forces bucket 4)
+    futs = [
+        engine.submit(Request(prompt=p, seed=s, **kw))
+        for p, s in [("a dog", 11), ("x", 1), ("y", 2), ("z", 3)]
+    ]
+    batched = futs[0].result()
+    for f in futs[1:]:
+        f.result()
+    np.testing.assert_allclose(solo, batched, atol=2e-5)
+
+
+def test_mixed_signatures_split_groups(engine):
+    kw = dict(height=32, width=32)
+    futs = [
+        engine.submit(Request(prompt="a", steps=2, **kw)),
+        engine.submit(Request(prompt="b", steps=3, **kw)),  # different signature
+        engine.submit(Request(prompt="c", steps=2, **kw)),
+    ]
+    outs = [f.result(timeout=600) for f in futs]
+    assert all(o.shape == (8, 8, 3) for o in outs)
+
+
+def test_error_propagates():
+    pipe = make_tiny_pipeline()
+    eng = ServingEngine(pipe, IdentityTok(), IdentityTok(), max_wait_s=0.01)
+    try:
+        fut = eng.submit(Request(prompt="p", height=31, width=32, steps=1))
+        with pytest.raises(Exception):
+            fut.result(timeout=300)
+    finally:
+        eng.close()
