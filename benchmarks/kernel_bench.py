@@ -1,0 +1,70 @@
+"""Per-kernel A/B microbenchmarks at SDXL shapes: XLA reference vs Pallas.
+
+The dev-tool analog of the reference's per-kernel ``triton.testing.do_bench``
+``__main__`` blocks (SURVEY.md §5). Run on a real TPU:
+
+    python benchmarks/kernel_bench.py [attention|group_norm|layer_norm|geglu]
+
+Prints one line per (op, shape): latency of both backends + speedup. Uses the
+chained-slope methodology from runtime/profiling (dispatch overhead removed).
+"""
+
+import sys
+
+import numpy as np
+
+
+def main(which: str | None = None):
+    import jax
+    import jax.numpy as jnp
+
+    import stabletriton_tpu.kernels  # registers pallas backends  # noqa: F401
+    from stabletriton_tpu import ops
+    from stabletriton_tpu.runtime.profiling import bench_fn
+
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return jnp.asarray(
+            rng.standard_normal(shape, dtype=np.float32)
+        ).astype(jnp.bfloat16)
+
+    def ab(op_name, label, fn_args, kwargs=None, chain_arg=0):
+        kwargs = kwargs or {}
+        results = {}
+        for backend in ("reference", "pallas"):
+            with ops.use_backends({op_name: backend}):
+                f = jax.jit(lambda *a: ops.dispatch(op_name, *a, **kwargs))
+                results[backend] = bench_fn(f, *fn_args, chain_arg=chain_arg)
+        r, p = results["reference"], results["pallas"]
+        print(f"{op_name:11s} {label:34s} ref {r*1e3:8.3f}ms  pallas {p*1e3:8.3f}ms  "
+              f"speedup {r/p:5.2f}x", flush=True)
+
+    # SDXL shapes: batch 2 (CFG), head_dim 64; levels 64x64 (640ch) & 32x32 (1280ch)
+    if which in (None, "attention"):
+        for b, h, s, kv in [(2, 10, 4096, 4096), (2, 20, 1024, 1024),
+                            (2, 10, 4096, 128), (2, 20, 1024, 128)]:
+            q, k, v = arr(b, h, s, 64), arr(b, h, kv, 64), arr(b, h, kv, 64)
+            ab("attention", f"B{b} H{h} S{s} KV{kv} D64", (q, k, v))
+
+    if which in (None, "group_norm"):
+        for n, hw, c in [(2, 128, 320), (2, 64, 640), (2, 32, 1280)]:
+            x = arr(n, hw, hw, c)
+            g = jnp.ones(c, jnp.float32)
+            bta = jnp.zeros(c, jnp.float32)
+            ab("group_norm", f"N{n} {hw}x{hw} C{c} +silu", (x, g, bta),
+               {"num_groups": 32, "act": "silu"})
+
+    if which in (None, "layer_norm"):
+        for b, s, c in [(2, 4096, 640), (2, 1024, 1280)]:
+            x = arr(b, s, c)
+            ab("layer_norm", f"B{b} S{s} C{c}",
+               (x, jnp.ones(c, jnp.float32), jnp.zeros(c, jnp.float32)))
+
+    if which in (None, "geglu"):
+        for b, s, c in [(2, 4096, 2560), (2, 1024, 5120)]:
+            ab("geglu", f"B{b} S{s} C{c}", (arr(b, s, c), arr(b, s, c)))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else None)
