@@ -11,9 +11,7 @@ of the CUDA-graph cache keyed by input signature, reference
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
-
+from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 

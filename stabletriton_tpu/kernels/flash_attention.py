@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from stabletriton_tpu.kernels.common import NEG_INF, cdiv, interpret_mode, round_up
+from stabletriton_tpu.kernels.common import NEG_INF, interpret_mode, round_up
 from stabletriton_tpu.ops.registry import register
 
 LANES = 128

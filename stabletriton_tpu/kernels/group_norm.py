@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from stabletriton_tpu.kernels.common import cdiv, interpret_mode, round_up, rows_for_budget
+from stabletriton_tpu.kernels.common import interpret_mode, round_up, rows_for_budget
 from stabletriton_tpu.ops.registry import register
 
 

@@ -20,7 +20,6 @@ Data layout: NHWC activations (TPU lane-friendly), fp32 or bf16.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 
 import jax

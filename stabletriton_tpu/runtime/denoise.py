@@ -17,7 +17,6 @@ stacked), so the UNet always sees one static batch shape.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -15,7 +15,6 @@ Tokenization is the only host-side step (token ids in, images out).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Any
 
 import jax
