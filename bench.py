@@ -28,7 +28,15 @@ def _build(binding: str, lat: int):
     from stabletriton_tpu.models.unet import init_unet_params, sdxl_base_unet_config
 
     cfg = sdxl_base_unet_config()
-    fn = compile_unet(cfg, CompileConfig(backend=binding, dtype="bfloat16"))
+    if binding.startswith("ops:"):
+        # e.g. "ops:attention,geglu" — reference base + the listed pallas ops
+        import stabletriton_tpu.kernels  # noqa: F401  (register backends)
+
+        overrides = tuple((op, "pallas") for op in binding[4:].split(",") if op)
+        ccfg = CompileConfig(backend="reference", overrides=overrides, dtype="bfloat16")
+    else:
+        ccfg = CompileConfig(backend=binding, dtype="bfloat16")
+    fn = compile_unet(cfg, ccfg)
     params = init_unet_params(cfg, 0, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
