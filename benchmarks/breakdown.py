@@ -8,7 +8,10 @@ at the biggest bucket instead of guessing.
     python benchmarks/breakdown.py [reference|pallas]
 """
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 

@@ -12,7 +12,10 @@ Exit code 0 = gate passed.
 """
 
 import argparse
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 

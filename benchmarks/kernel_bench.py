@@ -9,7 +9,10 @@ Prints one line per (op, shape): latency of both backends + speedup. Uses the
 chained-slope methodology from runtime/profiling (dispatch overhead removed).
 """
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 

@@ -8,9 +8,12 @@ redesigned for TPU:
   layer_norm      — row-tiled fused LayerNorm
   geglu           — fused state*gelu(gate)
   time_embed      — fused sinusoidal timestep embedding
+  dropout         — seeded dropout (TPU PRNG; unwired in inference, like the
+                    reference's)
 """
 
 from stabletriton_tpu.kernels import (  # noqa: F401
+    dropout,
     flash_attention,
     geglu,
     group_norm,

@@ -14,6 +14,7 @@ Tokenization is the only host-side step (token ids in, images out).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -51,6 +52,7 @@ class SDXLPipeline:
     compile_config: CompileConfig = field(default_factory=CompileConfig)
     scheduler_config: sched.SchedulerConfig = field(default_factory=sched.SchedulerConfig)
     _cache: dict[Any, Any] = field(default_factory=dict, repr=False)
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     # ------------------------------------------------------------------
     def _build(self, *, batch, height, width, steps, guidance_scale, solver,
@@ -139,15 +141,19 @@ class SDXLPipeline:
                return_latents)
         fn = self._cache.get(sig)
         if fn is None:
-            # one INFO per new signature — the reference logged one line per
-            # CUDA-graph capture the same way (graphs.py:25-27)
-            _logger.info("compiling txt2img program for signature %s", sig)
-            fn = self._build(
-                batch=batch, height=height, width=width, steps=steps,
-                guidance_scale=float(guidance_scale), solver=solver,
-                return_latents=return_latents,
-            )
-            self._cache[sig] = fn
+            # double-checked lock: concurrent servers must not double-compile
+            # (the reference locked its capture cache identically,
+            # graphs.py:22-30; the INFO line mirrors its per-capture log)
+            with self._lock:
+                fn = self._cache.get(sig)
+                if fn is None:
+                    _logger.info("compiling txt2img program for signature %s", sig)
+                    fn = self._build(
+                        batch=batch, height=height, width=width, steps=steps,
+                        guidance_scale=float(guidance_scale), solver=solver,
+                        return_latents=return_latents,
+                    )
+                    self._cache[sig] = fn
         return fn(self.params, ids1, ids2, neg_ids1, neg_ids2,
                   _seed_vector(seed, batch))
 
@@ -258,13 +264,17 @@ class SDXLPipeline:
                solver, aesthetic_scores, decode)
         fn = self._cache.get(sig)
         if fn is None:
-            _logger.info("compiling img2img program for signature %s", sig)
-            fn = self._build_img2img(
-                batch=batch, lat_h=lat_h, lat_w=lat_w, steps=steps, start=start,
-                guidance_scale=float(guidance_scale), solver=solver,
-                aesthetic_scores=aesthetic_scores, decode=decode,
-            )
-            self._cache[sig] = fn
+            with self._lock:
+                fn = self._cache.get(sig)
+                if fn is None:
+                    _logger.info("compiling img2img program for signature %s", sig)
+                    fn = self._build_img2img(
+                        batch=batch, lat_h=lat_h, lat_w=lat_w, steps=steps,
+                        start=start, guidance_scale=float(guidance_scale),
+                        solver=solver, aesthetic_scores=aesthetic_scores,
+                        decode=decode,
+                    )
+                    self._cache[sig] = fn
         return fn(self.params, latents, ids1, ids2, neg_ids1, neg_ids2,
                   _seed_vector(seed, batch))
 
