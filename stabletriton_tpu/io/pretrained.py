@@ -109,3 +109,52 @@ def load_sdxl(
     tok2 = CLIPTokenizer(root / "tokenizer_2" / "vocab.json",
                          root / "tokenizer_2" / "merges.txt")
     return pipe, tok1, tok2
+
+
+def load_sdxl_single_file(
+    checkpoint: str | Path,
+    *,
+    compile_config: CompileConfig | None = None,
+    dtype=np.float32,
+    tokenizer_dir: str | Path | None = None,
+    validate: bool = True,
+):
+    """Build an SDXLPipeline from a monolithic SGM/A1111 .safetensors file.
+
+    ``tokenizer_dir`` (optional): a directory with tokenizer/ and tokenizer_2/
+    subdirs (single-file checkpoints do not embed vocabularies).
+    Returns (pipeline, tok1 | None, tok2 | None).
+    """
+    import jax.numpy as jnp
+
+    from stabletriton_tpu.io.single_file import load_single_file
+    from stabletriton_tpu.models.unet import unet_param_shapes
+    from stabletriton_tpu.runtime.pipeline import SDXLPipeline
+
+    ucfg = UNetConfig()
+    c1 = clip_mod.sdxl_text_encoder_config()
+    c2 = clip_mod.sdxl_text_encoder_2_config()
+    vcfg = vae_mod.sdxl_vae_config()
+
+    cc = compile_config or CompileConfig()
+    raw = load_single_file(checkpoint, unet_config=ucfg, dtype=dtype)
+    if validate:
+        validate_against_shapes(raw["unet"], unet_param_shapes(ucfg))
+    params = {
+        "unet": {k: jnp.asarray(v, cc.jnp_dtype) for k, v in raw["unet"].items()},
+        "text_encoder": {k: jnp.asarray(v, jnp.float32) for k, v in raw["text_encoder"].items()},
+        "text_encoder_2": {k: jnp.asarray(v, jnp.float32) for k, v in raw["text_encoder_2"].items()},
+        "vae": {k: jnp.asarray(v, jnp.float32) for k, v in raw["vae"].items()},
+    }
+    pipe = SDXLPipeline(
+        unet_config=ucfg, clip_config=c1, clip2_config=c2, vae_config=vcfg,
+        params=params, compile_config=cc,
+    )
+    tok1 = tok2 = None
+    if tokenizer_dir is not None:
+        tdir = Path(tokenizer_dir)
+        tok1 = CLIPTokenizer(tdir / "tokenizer" / "vocab.json",
+                             tdir / "tokenizer" / "merges.txt")
+        tok2 = CLIPTokenizer(tdir / "tokenizer_2" / "vocab.json",
+                             tdir / "tokenizer_2" / "merges.txt")
+    return pipe, tok1, tok2
