@@ -45,6 +45,7 @@ def main(backend="pallas"):
         f = jax.jit(lambda v: fn(v))
         t = bench_fn(f, x)
         rows.append((label, count, t * 1e3))
+        print(f"[measured] {label:34s} x{count}  {t*1e3:8.3f} ms", flush=True)
 
     B = 2
     # resnets: (key, shape, count) — counts from the SDXL topology
