@@ -87,6 +87,27 @@ def _flash_kernel(
         o_ref[0] = (acc_ref[...] / l_ref[..., :1].clip(1e-30)).astype(o_ref.dtype)
 
 
+def _single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len):
+    """Fast path when all of K/V fits one block (SDXL cross-attention, 77->128):
+    plain softmax in-register, no running-max/denominator scratch."""
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if kv_len != k_ref.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
 )
@@ -121,6 +142,25 @@ def flash_attention(
     qf = qp.reshape(b * h, sq_p, d)
     kf = kp.reshape(b * h, sk_p, d)
     vf = vp.reshape(b * h, sk_p, d)
+
+    if sk_p == block_k:
+        out = pl.pallas_call(
+            functools.partial(_single_kv_kernel, scale=float(scale), kv_len=sk),
+            grid=(b * h, sq_p // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, block_k, d), lambda i, j: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf)
+        out = out.reshape(b, h, sq_p, d)
+        return out[:, :, :sq, :] if sq_p != sq else out
 
     grid = (b * h, sq_p // block_q, sk_p // block_k)
 
