@@ -151,6 +151,92 @@ def _upsample(p, key, x):
     return ops.conv2d(x, p[f"{key}.conv.weight"], p[f"{key}.conv.bias"])
 
 
+def vae_encoder_param_shapes(cfg: VAEConfig) -> dict[str, tuple[int, ...]]:
+    """Encoder-side table (HF "encoder.*" / "quant_conv.*" keys).
+
+    The encoder enables true image->image (the reference had no image input
+    path at all): RGB -> posterior moments -> sampled, scaled latents.
+    """
+    b = _B()
+    ch0 = cfg.block_out_channels[0]
+    top = cfg.block_out_channels[-1]
+    b.conv("encoder.conv_in", cfg.out_channels, ch0)
+    prev = ch0
+    for i, cout in enumerate(cfg.block_out_channels):
+        for j in range(cfg.layers_per_block):
+            _resnet_shapes(b, f"encoder.down_blocks.{i}.resnets.{j}", prev, cout)
+            prev = cout
+        if i < len(cfg.block_out_channels) - 1:
+            b.conv(f"encoder.down_blocks.{i}.downsamplers.0.conv", cout, cout)
+    _resnet_shapes(b, "encoder.mid_block.resnets.0", top, top)
+    b.norm("encoder.mid_block.attentions.0.group_norm", top)
+    for proj in ("to_q", "to_k", "to_v", "to_out.0"):
+        b.linear(f"encoder.mid_block.attentions.0.{proj}", top, top)
+    _resnet_shapes(b, "encoder.mid_block.resnets.1", top, top)
+    b.norm("encoder.conv_norm_out", top)
+    b.conv("encoder.conv_out", top, 2 * cfg.latent_channels)
+    b.conv("quant_conv", 2 * cfg.latent_channels, 2 * cfg.latent_channels, k=1)
+    return b.shapes
+
+
+def init_vae_encoder_params(cfg: VAEConfig, rng: jax.Array | int = 0, dtype=jnp.float32):
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    shapes = vae_encoder_param_shapes(cfg)
+    out = {}
+    keys = jax.random.split(rng, len(shapes))
+    for k, (name, shape) in zip(keys, sorted(shapes.items())):
+        if name.endswith(".bias"):
+            out[name] = jnp.zeros(shape, dtype)
+        elif ".norm" in name or "group_norm" in name:
+            out[name] = jnp.ones(shape, dtype)
+        else:
+            fan = int(np.prod(shape[:-1]))
+            out[name] = (
+                jax.random.normal(k, shape, jnp.float32) / np.sqrt(max(fan, 1))
+            ).astype(dtype)
+    return out
+
+
+def vae_encode(
+    cfg: VAEConfig,
+    params: dict[str, jax.Array],
+    images: jax.Array,
+    *,
+    rng: jax.Array | None = None,
+):
+    """images (B, H, W, 3) in [-1, 1] -> scaled latents (B, H/8, W/8, 4).
+
+    Deterministic (posterior mean) when rng is None; sampled otherwise.
+    """
+    p = params
+    h = ops.conv2d(images, p["encoder.conv_in.weight"], p["encoder.conv_in.bias"])
+    for i in range(len(cfg.block_out_channels)):
+        for j in range(cfg.layers_per_block):
+            h = _resnet(p, f"encoder.down_blocks.{i}.resnets.{j}", h, cfg)
+        if i < len(cfg.block_out_channels) - 1:
+            # HF VAE downsample: asymmetric (0,1)x(0,1) pad + stride-2 valid conv
+            h = ops.conv2d(
+                h, p[f"encoder.down_blocks.{i}.downsamplers.0.conv.weight"],
+                p[f"encoder.down_blocks.{i}.downsamplers.0.conv.bias"],
+                stride=2, padding=((0, 1), (0, 1)),
+            )
+    h = _resnet(p, "encoder.mid_block.resnets.0", h, cfg)
+    h = _mid_attention(p, "encoder.mid_block.attentions.0", h, cfg)
+    h = _resnet(p, "encoder.mid_block.resnets.1", h, cfg)
+    h = ops.group_norm(
+        h, p["encoder.conv_norm_out.weight"], p["encoder.conv_norm_out.bias"],
+        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, act="silu",
+    )
+    h = ops.conv2d(h, p["encoder.conv_out.weight"], p["encoder.conv_out.bias"])
+    h = ops.conv2d(h, p["quant_conv.weight"], p["quant_conv.bias"], padding=0)
+    mean, logvar = jnp.split(h, 2, axis=-1)
+    if rng is not None:
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        mean = mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+    return mean * cfg.scaling_factor
+
+
 def vae_decode(cfg: VAEConfig, params: dict[str, jax.Array], latents: jax.Array):
     """latents: (B, h, w, 4) *scaled* latents (as produced by the denoiser).
     Returns RGB images in [-1, 1], (B, 8h, 8w, 3)."""

@@ -202,16 +202,22 @@ def conv2d(
     b: jax.Array | None = None,
     *,
     stride: int = 1,
-    padding: int = 1,
+    padding: int | tuple = 1,
     residual: jax.Array | None = None,
     act: str | None = None,
 ):
-    """NHWC conv with HWIO weights; optional bias, residual add, activation."""
+    """NHWC conv with HWIO weights; optional bias, residual add, activation.
+
+    ``padding``: int (symmetric) or ((top, bottom), (left, right)) — the VAE
+    encoder's downsamplers use the asymmetric (0,1)x(0,1) form.
+    """
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
-        padding=[(padding, padding), (padding, padding)],
+        padding=list(padding),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
