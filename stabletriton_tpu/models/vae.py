@@ -32,6 +32,11 @@ class VAEConfig:
     norm_eps: float = 1e-6
     scaling_factor: float = 0.13025  # SDXL VAE
 
+    @property
+    def spatial_scale_factor(self) -> int:
+        """Pixels per latent cell (8 for the 4-level SDXL VAE)."""
+        return 2 ** (len(self.block_out_channels) - 1)
+
 
 def sdxl_vae_config() -> VAEConfig:
     return VAEConfig()

@@ -49,9 +49,15 @@ def make_denoise_loop(
     num_steps = len(schedule.timesteps)
     g = float(guidance_scale)
 
-    def cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma):
+    def cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra):
         inp = sched.scale_model_input(lat, sigma)
-        inp2 = jnp.concatenate([inp, inp], axis=0)
+        if extra is not None:
+            # inpainting-style conditioning channels (mask + masked-image
+            # latents), concatenated *unscaled*, already CFG-doubled
+            inp2 = jnp.concatenate([inp, inp], axis=0)
+            inp2 = jnp.concatenate([inp2, extra.astype(inp2.dtype)], axis=-1)
+        else:
+            inp2 = jnp.concatenate([inp, inp], axis=0)
         t2 = jnp.broadcast_to(t, (inp2.shape[0],))
         eps = unet_step(params, inp2, t2, ctx, text_embeds, time_ids)
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
@@ -59,10 +65,10 @@ def make_denoise_loop(
 
     if solver == "euler":
 
-        def loop(params, latents, ctx, text_embeds, time_ids):
+        def loop(params, latents, ctx, text_embeds, time_ids, extra=None):
             def step(lat, xs):
                 sigma, sigma_next, t = xs
-                eps = cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma)
+                eps = cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra)
                 return sched.euler_step(lat, eps, sigma, sigma_next), None
 
             xs = (sigmas[:-1], sigmas[1:], timesteps)
@@ -71,14 +77,14 @@ def make_denoise_loop(
 
     elif solver == "dpmpp_2m":
 
-        def loop(params, latents, ctx, text_embeds, time_ids):
+        def loop(params, latents, ctx, text_embeds, time_ids, extra=None):
             # sigma_prev[i] = sigmas[i-1] (self for i=0; h_prev=0 is unused then)
             sigma_prevs = jnp.concatenate([sigmas[:1], sigmas[:-2]])
 
             def step(carry, xs):
                 lat, prev_x0, have_prev = carry
                 sigma, sigma_next, sigma_prev, t = xs
-                eps = cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma)
+                eps = cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra)
                 lat, x0 = sched.dpmpp_2m_step(
                     lat, eps, sigma, sigma_next, prev_x0, have_prev, sigma_prev
                 )

@@ -62,7 +62,8 @@ class SDXLPipeline:
         dtype = self.compile_config.jnp_dtype
         schedule = sched.make_schedule(self.scheduler_config, steps)
         ucfg = self.unet_config
-        lat_h, lat_w = height // 8, width // 8
+        f = self.vae_config.spatial_scale_factor
+        lat_h, lat_w = height // f, width // f
 
         def unet_step(unet_params, sample, t, ctx, text_embeds, time_ids):
             return unet_apply(ucfg, unet_params, sample, t, ctx, text_embeds, time_ids)
@@ -156,6 +157,102 @@ class SDXLPipeline:
                     self._cache[sig] = fn
         return fn(self.params, ids1, ids2, neg_ids1, neg_ids2,
                   _seed_vector(seed, batch))
+
+    def inpaint(
+        self,
+        image: jax.Array,          # (B, H, W, 3) in [-1, 1]
+        mask: jax.Array,           # (B, H, W, 1), 1 = repaint
+        ids1: jax.Array,
+        ids2: jax.Array,
+        *,
+        neg_ids1: jax.Array | None = None,
+        neg_ids2: jax.Array | None = None,
+        steps: int = 30,
+        guidance_scale: float = 5.0,
+        solver: str = "euler",
+        seed: int = 0,
+    ):
+        """Inpainting with a 9-channel SDXL-inpaint UNet (in_channels = 4 noisy +
+        1 mask + 4 masked-image latents). Requires encoder params under
+        ``params["vae"]`` ("encoder.*" / "quant_conv.*" keys) — see
+        models/vae.vae_encode. The whole program (encode -> scan -> decode) jits
+        as one executable, like txt2img."""
+        if self.unet_config.in_channels != 9:
+            raise ValueError(
+                f"inpaint needs a 9-channel inpaint UNet; this model has "
+                f"in_channels={self.unet_config.in_channels}"
+            )
+        batch, height, width, _ = image.shape
+        if neg_ids1 is None:
+            neg_ids1 = jnp.zeros_like(ids1)
+        if neg_ids2 is None:
+            neg_ids2 = jnp.zeros_like(ids2)
+        sig = ("inpaint", batch, height, width, steps, float(guidance_scale), solver)
+        fn = self._cache.get(sig)
+        if fn is None:
+            with self._lock:
+                fn = self._cache.get(sig)
+                if fn is None:
+                    _logger.info("compiling inpaint program for signature %s", sig)
+                    fn = self._build_inpaint(
+                        batch=batch, height=height, width=width, steps=steps,
+                        guidance_scale=float(guidance_scale), solver=solver,
+                    )
+                    self._cache[sig] = fn
+        return fn(self.params, image, mask, ids1, ids2, neg_ids1, neg_ids2,
+                  _seed_vector(seed, batch))
+
+    def _build_inpaint(self, *, batch, height, width, steps,
+                                guidance_scale, solver):
+        binding = resolve_binding(self.compile_config)
+        dtype = self.compile_config.jnp_dtype
+        schedule = sched.make_schedule(self.scheduler_config, steps)
+        ucfg = self.unet_config
+        f = self.vae_config.spatial_scale_factor
+        lat_h, lat_w = height // f, width // f
+
+        def unet_step(unet_params, sample, t, ctx, text_embeds, time_ids):
+            return unet_apply(ucfg, unet_params, sample, t, ctx, text_embeds, time_ids)
+
+        loop = make_denoise_loop(
+            unet_step, schedule, guidance_scale=guidance_scale, solver=solver
+        )
+
+        def program(params, image, mask, ids1, ids2, neg_ids1, neg_ids2, seed):
+            with ops.use_backends(binding):
+                ids1_all = jnp.concatenate([neg_ids1, ids1], axis=0)
+                ids2_all = jnp.concatenate([neg_ids2, ids2], axis=0)
+                ctx, pooled = clip_mod.encode_sdxl_prompts(
+                    self.clip_config, params["text_encoder"],
+                    self.clip2_config, params["text_encoder_2"],
+                    ids1_all, ids2_all,
+                )
+                ctx = ctx.astype(dtype)
+                pooled = pooled.astype(dtype)
+                tid = jnp.asarray([height, width, 0, 0, height, width], jnp.float32)
+                time_ids = jnp.broadcast_to(tid, (2 * batch, 6))
+
+                # conditioning channels: downsampled mask + masked-image latents
+                maskf = mask.astype(jnp.float32)
+                masked = image.astype(jnp.float32) * (maskf < 0.5)
+                masked_lat = vae_mod.vae_encode(self.vae_config, params["vae"], masked)
+                mask_lat = jax.image.resize(maskf, (batch, lat_h, lat_w, 1), "nearest")
+                extra1 = jnp.concatenate([mask_lat, masked_lat], axis=-1)
+                extra = jnp.concatenate([extra1, extra1], axis=0)  # CFG-doubled
+
+                keys = jax.vmap(jax.random.PRNGKey)(seed)
+                noise = jax.vmap(
+                    lambda k: jax.random.normal(k, (lat_h, lat_w, 4), jnp.float32)
+                )(keys)
+                latents = (noise * schedule.init_noise_sigma).astype(dtype)
+
+                latents = loop(params["unet"], latents, ctx, pooled, time_ids, extra)
+                img = vae_mod.vae_decode(
+                    self.vae_config, params["vae"], latents.astype(jnp.float32)
+                )
+                return jnp.clip(img, -1.0, 1.0)
+
+        return jax.jit(program)
 
     def cache_signatures(self):
         """Compiled-program signatures (the hash_arg cache-key analog)."""

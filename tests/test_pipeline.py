@@ -67,8 +67,8 @@ def test_vae_decode_shape(pipe):
 def test_txt2img_end_to_end(pipe):
     ids1, ids2 = _ids(pipe)
     img = pipe.txt2img(ids1, ids2, height=32, width=32, steps=3, seed=7)
-    # tiny vae upsamples once: 32//8 = 4 latent -> 8 pixels
-    assert img.shape == (1, 8, 8, 3)
+    # tiny vae scale factor is 2 -> latents 16x16 -> output back at 32x32
+    assert img.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(img)).all()
     assert np.asarray(img).min() >= -1.0 and np.asarray(img).max() <= 1.0
 
@@ -97,4 +97,4 @@ def test_txt2img_latents_path(pipe):
     ids1, ids2 = _ids(pipe)
     lat = pipe.txt2img(ids1, ids2, height=32, width=32, steps=2, seed=0,
                        return_latents=True)
-    assert lat.shape == (1, 4, 4, 4)
+    assert lat.shape == (1, 16, 16, 4)

@@ -44,7 +44,7 @@ def test_img2img_refine(refiner):
     rng = np.random.default_rng(0)
     latents = jnp.asarray(rng.standard_normal((1, 4, 4, 4), dtype=np.float32))
     img = refiner.img2img(latents, None, _ids(), steps=4, strength=0.5, seed=3)
-    assert img.shape == (1, 8, 8, 3)
+    assert img.shape == (1, 8, 8, 3)  # decode upsamples 4x4 latents once (x2)
     assert np.isfinite(np.asarray(img)).all()
 
 
@@ -63,5 +63,6 @@ def test_two_stage_pipeline():
     two = TwoStageSDXL(base=base, refiner=refiner)
     ids = _ids()
     img = two.txt2img(ids, ids, height=32, width=32, steps=3, refiner_strength=0.34)
-    assert img.shape == (1, 8, 8, 3)
+    # base latents are 16x16 (tiny vae factor 2); refiner decode doubles them
+    assert img.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(img)).all()

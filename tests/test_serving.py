@@ -32,7 +32,7 @@ def engine():
 
 def test_single_request(engine):
     img = engine.generate("a cat", height=32, width=32, steps=2, seed=7)
-    assert img.shape == (8, 8, 3)
+    assert img.shape == (32, 32, 3)
 
 
 def test_batching_and_per_request_determinism(engine):
@@ -58,7 +58,7 @@ def test_mixed_signatures_split_groups(engine):
         engine.submit(Request(prompt="c", steps=2, **kw)),
     ]
     outs = [f.result(timeout=600) for f in futs]
-    assert all(o.shape == (8, 8, 3) for o in outs)
+    assert all(o.shape == (32, 32, 3) for o in outs)
 
 
 def test_error_propagates():
