@@ -7,15 +7,20 @@ its own Triton FA2 kernel at ``src/stabletriton/kernels/attention_fa2.py`` has
 the same online-softmax structure this kernel uses, but went unused at runtime).
 
 TPU design (not a translation):
-  * grid = (batch*heads, q_blocks, kv_blocks) with the kv dimension innermost
-    and "arbitrary" semantics — Pallas double-buffers the K/V block DMAs while
-    the MXU works, so HBM traffic is streamed, never materializing the (Sq, Sk)
-    score matrix XLA's naive softmax-attention would write to HBM;
-  * online softmax with running max/denominator kept fully lane-broadcast
-    ((block_q, 128) f32 scratch) so every rescale is a plain VPU op;
-  * fp32 accumulation for both dots (``preferred_element_type``), bf16 inputs;
-  * SDXL's cross-attention KV length (77) is zero-padded to the lane width and
-    masked with a large negative logit, so softmax mass on padding is exactly 0.
+  * operands stay in the model's natural (B, S, H*D) layout — heads are
+    addressed by the BlockSpec index map (block (1, block_q, D) at channel
+    offset h*D), so the (B,S,H,D)<->(B,H,S,D) transposes that cost ~11 ms/step
+    in the XLA path simply do not exist;
+  * grid = (B, H, q_blocks, kv_blocks), kv innermost with "arbitrary"
+    semantics — Pallas double-buffers K/V block DMAs against the MXU, never
+    materializing the (Sq, Sk) score matrix (the XLA softmax-attention writes
+    ~26 GB/step of scores to HBM at SDXL shapes);
+  * online softmax with lane-broadcast running max/denominator f32 scratch;
+  * a single-KV-block fast path (plain in-register softmax, no scratch) for
+    SDXL cross-attention (KV 77 -> one 128 block) and short self-attention;
+  * fp32 accumulation for both dots; zero-padded keys masked to -1e30;
+  * block sizes tuned on v5e (scripts/tune_attention.py): 4.1x over the XLA
+    attention at the 4096-token self-attention shape, 2.4x at cross shapes.
 """
 
 from __future__ import annotations
@@ -37,13 +42,13 @@ LANES = 128
 def _flash_kernel(
     q_ref, k_ref, v_ref,  # (1, block_q, D), (1, block_k, D), (1, block_k, D)
     o_ref,                # (1, block_q, D)
-    m_ref, l_ref, acc_ref,  # scratch: (block_q, LANES), (block_q, LANES), (block_q, D)
+    m_ref, l_ref, acc_ref,  # scratch: (block_q, LANES) x2, (block_q, D) f32
     *,
     scale: float,
     kv_len: int,
     block_k: int,
 ):
-    kv_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -82,7 +87,7 @@ def _flash_kernel(
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    @pl.when(kv_idx == pl.num_programs(3) - 1)
     def _finalize():
         o_ref[0] = (acc_ref[...] / l_ref[..., :1].clip(1e-30)).astype(o_ref.dtype)
 
@@ -108,91 +113,105 @@ def _single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len):
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
+def _pick_blocks(sq: int, sk: int, d: int) -> tuple[int, int]:
+    """Per-shape block choice, tuned on v5e (scripts/tune_attention.py):
+
+      self S=4096 D=64 : (512, 1024)  -> 4.1x over XLA naive
+      cross KV<=128    : (whole-q, 128) single-KV fast path -> 2.4x
+      VAE S=16k  D=512 : (512, 1024)  -> 1.5x
+    """
+    if sk <= LANES:
+        return min(sq, 4096), LANES
+    if sk <= 1024:
+        return 512, 1024  # single-KV path
+    return 512, 1024
+
+
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("num_heads", "scale", "block_q", "block_k", "interpret")
 )
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     *,
+    num_heads: int = 1,
     scale: float | None = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool | None = None,
 ):
-    """q: (B, H, Sq, D); k, v: (B, H, Sk, D) -> (B, H, Sq, D). Non-causal."""
+    """Multi-head attention over channel-packed operands.
+
+    q: (B, Sq, H*D); k, v: (B, Sk, H*D) -> (B, Sq, H*D). Non-causal. Heads are
+    sliced out of the channel axis by the grid's index map — no transposes.
+    """
     if interpret is None:
         interpret = interpret_mode()
-    b, h, sq, d = q.shape
-    sk = k.shape[2]
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    assert c % num_heads == 0, (c, num_heads)
+    d = c // num_heads
     if scale is None:
         scale = 1.0 / np.sqrt(d)
 
-    block_q = min(block_q, round_up(sq, 8))
-    block_k = min(block_k, round_up(sk, LANES))
+    auto_q, auto_k = _pick_blocks(sq, sk, d)
+    block_q = min(block_q or auto_q, round_up(sq, 8))
+    block_k = min(block_k or auto_k, round_up(sk, LANES))
 
     # pad seq lens to block multiples (static shapes; XLA folds the pads)
     sq_p = round_up(sq, block_q)
     sk_p = round_up(sk, block_k)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
+    qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
+    kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
+    vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
 
-    qf = qp.reshape(b * h, sq_p, d)
-    kf = kp.reshape(b * h, sk_p, d)
-    vf = vp.reshape(b * h, sk_p, d)
-
+    h = num_heads
     if sk_p == block_k:
         out = pl.pallas_call(
             functools.partial(_single_kv_kernel, scale=float(scale), kv_len=sk),
-            grid=(b * h, sq_p // block_q),
+            grid=(b, h, sq_p // block_q),
             in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-                pl.BlockSpec((1, block_k, d), lambda i, j: (i, 0, 0)),
-                pl.BlockSpec((1, block_k, d), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, block_q, d), lambda i, hh, j: (i, j, hh)),
+                pl.BlockSpec((1, block_k, d), lambda i, hh, j: (i, 0, hh)),
+                pl.BlockSpec((1, block_k, d), lambda i, hh, j: (i, 0, hh)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+            out_specs=pl.BlockSpec((1, block_q, d), lambda i, hh, j: (i, j, hh)),
+            out_shape=jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
+                dimension_semantics=("parallel", "parallel", "parallel"),
             ),
             interpret=interpret,
-        )(qf, kf, vf)
-        out = out.reshape(b, h, sq_p, d)
-        return out[:, :, :sq, :] if sq_p != sq else out
+        )(qp, kp, vp)
+    else:
+        out = pl.pallas_call(
+            functools.partial(
+                _flash_kernel, scale=float(scale), kv_len=sk, block_k=block_k
+            ),
+            grid=(b, h, sq_p // block_q, sk_p // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda i, hh, j, kk: (i, j, hh)),
+                pl.BlockSpec((1, block_k, d), lambda i, hh, j, kk: (i, kk, hh)),
+                pl.BlockSpec((1, block_k, d), lambda i, hh, j, kk: (i, kk, hh)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda i, hh, j, kk: (i, j, hh)),
+            out_shape=jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qp, kp, vp)
 
-    grid = (b * h, sq_p // block_q, sk_p // block_k)
-
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=float(scale), kv_len=sk, block_k=block_k
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0)),
-            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(qf, kf, vf)
-
-    out = out.reshape(b, h, sq_p, d)
     if sq_p != sq:
-        out = out[:, :, :sq, :]
+        out = out[:, :sq, :]
     return out
 
 
 @register("attention", "pallas")
-def attention(q, k, v, *, scale=None):
-    return flash_attention(q, k, v, scale=scale)
+def attention(q, k, v, *, num_heads=1, scale=None):
+    return flash_attention(q, k, v, num_heads=num_heads, scale=scale)

@@ -314,26 +314,16 @@ def _resnet(p, key: str, x, temb, cfg: UNetConfig):
     return ops.conv2d(h, p[f"{key}.conv2.weight"], p[f"{key}.conv2.bias"], residual=skip)
 
 
-def _split_heads(x, num_heads):
-    b, s, c = x.shape
-    return x.reshape(b, s, num_heads, c // num_heads).transpose(0, 2, 1, 3)
-
-
-def _merge_heads(x):
-    b, h, s, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-
-
 def _attention_layer(p, key: str, x, context, num_heads: int):
     """Multi-head attention (self if context is x). Maps to the fused flash
     kernel via ops.attention — the analog of the reference's fuse_attention
-    pass (``replace_attention.py:76-92``)."""
+    pass (``replace_attention.py:76-92``). Operands stay channel-packed
+    (B, S, H*D); the pallas backend slices heads in its grid, so no transpose
+    ever materializes."""
     q = ops.linear(x, p[f"{key}.to_q.weight"])
     k = ops.linear(context, p[f"{key}.to_k.weight"])
     v = ops.linear(context, p[f"{key}.to_v.weight"])
-    q, k, v = (_split_heads(t, num_heads) for t in (q, k, v))
-    out = ops.attention(q, k, v)
-    out = _merge_heads(out)
+    out = ops.attention(q, k, v, num_heads=num_heads)
     return ops.linear(out, p[f"{key}.to_out.0.weight"], p[f"{key}.to_out.0.bias"])
 
 

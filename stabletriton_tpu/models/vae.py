@@ -144,7 +144,7 @@ def _mid_attention(p, key, x, cfg: VAEConfig):
     q = ops.linear(hs, p[f"{key}.to_q.weight"], p[f"{key}.to_q.bias"])
     k = ops.linear(hs, p[f"{key}.to_k.weight"], p[f"{key}.to_k.bias"])
     v = ops.linear(hs, p[f"{key}.to_v.weight"], p[f"{key}.to_v.bias"])
-    out = ops.attention(q[:, None], k[:, None], v[:, None])[:, 0]  # single head
+    out = ops.attention(q, k, v, num_heads=1)
     out = ops.linear(out, p[f"{key}.to_out.0.weight"], p[f"{key}.to_out.0.bias"])
     return out.reshape(n, h, w, c) + res
 

@@ -50,22 +50,35 @@ def apply_activation(x: jax.Array, act: str | None) -> jax.Array:
 
 
 @register("attention", "reference")
-def attention(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float | None = None):
-    """Scaled dot-product attention, non-causal.
+def attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    *, num_heads: int = 1, scale: float | None = None,
+):
+    """Multi-head scaled dot-product attention, non-causal.
 
-    q: (B, H, Sq, D); k, v: (B, H, Sk, D). Softmax in fp32.
+    q: (B, Sq, H*D); k, v: (B, Sk, H*D) — channel-packed heads (the model's
+    natural layout; the pallas backend exploits it to skip transposes).
+    Softmax in fp32. Returns (B, Sq, H*D).
     """
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // num_heads
     if scale is None:
-        scale = 1.0 / np.sqrt(q.shape[-1])
+        scale = 1.0 / np.sqrt(d)
+
+    def split(x, s):
+        return x.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q, sq), split(k, sk), split(v, sk)
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
     ) * jnp.float32(scale)
     weights = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
-        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+        "bhqk,bhkd->bhqd", weights.astype(vh.dtype), vh,
         preferred_element_type=jnp.float32,
-    )
-    return out.astype(q.dtype)
+    ).astype(q.dtype)
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, c)
 
 
 # ---------------------------------------------------------------------------

@@ -24,26 +24,28 @@ from stabletriton_tpu.kernels.time_embed import time_embed as time_embed_k
         (2, 3, 100, 100, 32, 64, 64),      # non-multiple seq (pad+mask both)
         (1, 2, 64, 77, 64, 32, 128),       # SDXL cross-attn kv=77 (pad+mask)
         (1, 1, 16, 16, 64, 512, 512),      # blocks clamp to seq
+        (1, 4, 96, 300, 32, 32, 128),      # multi-kv with padded final block
     ],
 )
 def test_flash_attention_parity(b, h, sq, sk, d, block_q, block_k):
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((b, h, sq, d), dtype=np.float32))
-    k = jnp.asarray(rng.standard_normal((b, h, sk, d), dtype=np.float32))
-    v = jnp.asarray(rng.standard_normal((b, h, sk, d), dtype=np.float32))
-    out = flash_attention(q, k, v, block_q=block_q, block_k=block_k)
-    ref = ops.attention(q, k, v)
+    q = jnp.asarray(rng.standard_normal((b, sq, h * d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, sk, h * d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, sk, h * d), dtype=np.float32))
+    out = flash_attention(q, k, v, num_heads=h, block_q=block_q, block_k=block_k)
+    ref = ops.attention(q, k, v, num_heads=h)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
 
 
 def test_flash_attention_bf16():
     rng = np.random.default_rng(1)
-    q = jnp.asarray(rng.standard_normal((1, 2, 64, 64), dtype=np.float32)).astype(jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((1, 2, 77, 64), dtype=np.float32)).astype(jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((1, 2, 77, 64), dtype=np.float32)).astype(jnp.bfloat16)
-    out = flash_attention(q, k, v, block_q=32, block_k=128)
+    q = jnp.asarray(rng.standard_normal((1, 64, 128), dtype=np.float32)).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 77, 128), dtype=np.float32)).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 77, 128), dtype=np.float32)).astype(jnp.bfloat16)
+    out = flash_attention(q, k, v, num_heads=2, block_q=32, block_k=128)
     assert out.dtype == jnp.bfloat16
-    ref = ops.attention(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    ref = ops.attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                        v.astype(jnp.float32), num_heads=2)
     np.testing.assert_allclose(
         np.asarray(out, dtype=np.float32), np.asarray(ref), atol=2e-2
     )

@@ -28,11 +28,18 @@ def test_registry_lists_all_ops():
 
 def test_attention_matches_torch_sdpa():
     rng = np.random.default_rng(0)
-    q = rng.standard_normal((2, 3, 16, 8), dtype=np.float32)
-    k = rng.standard_normal((2, 3, 24, 8), dtype=np.float32)
-    v = rng.standard_normal((2, 3, 24, 8), dtype=np.float32)
-    out = ops.attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
-    ref = torch.nn.functional.scaled_dot_product_attention(to_t(q), to_t(k), to_t(v))
+    h, d = 3, 8
+    q = rng.standard_normal((2, 16, h * d), dtype=np.float32)
+    k = rng.standard_normal((2, 24, h * d), dtype=np.float32)
+    v = rng.standard_normal((2, 24, h * d), dtype=np.float32)
+    out = ops.attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), num_heads=h)
+
+    def split(x, s):
+        return to_t(x).reshape(2, s, h, d).permute(0, 2, 1, 3)
+
+    ref = torch.nn.functional.scaled_dot_product_attention(
+        split(q, 16), split(k, 24), split(v, 24)
+    ).permute(0, 2, 1, 3).reshape(2, 16, h * d)
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
 
 
