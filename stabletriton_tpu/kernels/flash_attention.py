@@ -7,20 +7,22 @@ its own Triton FA2 kernel at ``src/stabletriton/kernels/attention_fa2.py`` has
 the same online-softmax structure this kernel uses, but went unused at runtime).
 
 TPU design (not a translation):
-  * operands stay in the model's natural (B, S, H*D) layout — heads are
-    addressed by the BlockSpec index map (block (1, block_q, D) at channel
-    offset h*D), so the (B,S,H,D)<->(B,H,S,D) transposes that cost ~11 ms/step
-    in the XLA path simply do not exist;
-  * grid = (B, H, q_blocks, kv_blocks), kv innermost with "arbitrary"
-    semantics — Pallas double-buffers K/V block DMAs against the MXU, never
-    materializing the (Sq, Sk) score matrix (the XLA softmax-attention writes
-    ~26 GB/step of scores to HBM at SDXL shapes);
-  * online softmax with lane-broadcast running max/denominator f32 scratch;
+  * operands stay in the model's natural (B, S, H*D) layout, viewed as
+    (B, S, H, D) — a free reshape. Each program receives a block spanning
+    *all heads* ((1, block_q, H, D): trailing dims equal the array's, which
+    satisfies Mosaic's (8,128) tiling rule for any head_dim) and loops heads
+    in-kernel. This kills the (B,S,H,D)<->(B,H,S,D) transposes XLA needed
+    (~11 ms/step at SDXL shapes) AND amortizes per-program overhead across
+    heads (10-20x fewer grid programs than a head-per-program layout);
+  * grid = (B, q_blocks, kv_blocks), kv innermost with "arbitrary" semantics —
+    Pallas double-buffers K/V DMAs against the MXU; the (Sq, Sk) score matrix
+    never touches HBM (XLA's naive softmax-attention writes ~26 GB/step);
+  * online softmax with running max/denominator in (H, block_q, 128)
+    lane-broadcast f32 scratch; fp32 accumulation for both dots;
   * a single-KV-block fast path (plain in-register softmax, no scratch) for
     SDXL cross-attention (KV 77 -> one 128 block) and short self-attention;
-  * fp32 accumulation for both dots; zero-padded keys masked to -1e30;
-  * block sizes tuned on v5e (scripts/tune_attention.py): 4.1x over the XLA
-    attention at the 4096-token self-attention shape, 2.4x at cross shapes.
+  * zero-padded keys masked to -1e30; block sizes tuned on v5e
+    (scripts/tune_attention.py) and shrunk automatically to a VMEM budget.
 """
 
 from __future__ import annotations
@@ -37,18 +39,19 @@ from stabletriton_tpu.kernels.common import NEG_INF, interpret_mode, round_up
 from stabletriton_tpu.ops.registry import register
 
 LANES = 128
+VMEM_BUDGET = 10 << 20  # leave headroom under the ~16MB scoped limit
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref,  # (1, block_q, D), (1, block_k, D), (1, block_k, D)
-    o_ref,                # (1, block_q, D)
+    q_ref, k_ref, v_ref,    # (1, block_q, D), (1, block_k, D) x2  [BH-major]
+    o_ref,                  # (1, block_q, D)
     m_ref, l_ref, acc_ref,  # scratch: (block_q, LANES) x2, (block_q, D) f32
     *,
     scale: float,
     kv_len: int,
     block_k: int,
 ):
-    kv_idx = pl.program_id(3)
+    kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -60,41 +63,58 @@ def _flash_kernel(
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (block_q, block_k)
-    s = s * scale
-
-    # mask zero-padded keys (static branch: only emitted when padding exists;
-    # for non-final kv blocks the compare is all-true and folds to a no-op)
+    ) * scale
     if kv_len % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
 
-    m_prev = m_ref[...]          # (block_q, LANES), lane-broadcast
-    m_cur = jnp.max(s, axis=1, keepdims=True)          # (block_q, 1)
+    m_prev = m_ref[...]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-
-    alpha = jnp.exp(m_prev - m_next)                   # rescale factor
-    p = jnp.exp(s - m_next[:, :1])                     # (block_q, block_k)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
 
     l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
-        jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        jnp.sum(p, axis=1, keepdims=True), m_prev.shape
     )
     m_ref[...] = m_next
-
-    acc = acc_ref[...] * alpha[:, :1]  # lane-broadcast (works for any head_dim)
-    acc_ref[...] = acc + jax.lax.dot_general(
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(kv_idx == pl.num_programs(3) - 1)
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
         o_ref[0] = (acc_ref[...] / l_ref[..., :1].clip(1e-30)).astype(o_ref.dtype)
 
 
-def _single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len):
-    """Fast path when all of K/V fits one block (SDXL cross-attention, 77->128):
-    plain softmax in-register, no running-max/denominator scratch."""
+def _single_kv_kernel(q_ref, k_ref, v_ref, *o_refs, scale, kv_len):
+    """Fast path when all of K/V fits one block (SDXL cross-attention, 77->128,
+    and short self-attention): plain softmax in-register, no scratch."""
+    h = q_ref.shape[2]
+    block_k = k_ref.shape[1]
+    if kv_len != block_k:
+        col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], block_k), 1)
+    for i in range(h):
+        q = q_ref[0, :, i, :]
+        k = k_ref[0, :, i, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if kv_len != block_k:
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, :, i, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_refs[i][0] = (o / l).astype(o_refs[i].dtype)
+
+
+def _single_kv_kernel_bh(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len):
+    """BH-major single-KV-block kernel (one head per program, no scratch)."""
     q = q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(
@@ -113,18 +133,38 @@ def _single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len):
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
-def _pick_blocks(sq: int, sk: int, d: int) -> tuple[int, int]:
-    """Per-shape block choice, tuned on v5e (scripts/tune_attention.py):
-
-      self S=4096 D=64 : (512, 1024)  -> 4.1x over XLA naive
-      cross KV<=128    : (whole-q, 128) single-KV fast path -> 2.4x
-      VAE S=16k  D=512 : (512, 1024)  -> 1.5x
-    """
+def _pick_blocks(sq: int, sk: int, h: int, d: int, itemsize: int):
+    """Block choice tuned on v5e (scripts/tune_attention.py), then shrunk to
+    the VMEM budget: blocks span all heads, so bytes scale with H."""
     if sk <= LANES:
-        return min(sq, 4096), LANES
-    if sk <= 1024:
-        return 512, 1024  # single-KV path
-    return 512, 1024
+        bq, bk = min(sq, 4096), LANES
+    else:
+        bq, bk = 512, 1024
+
+    single_kv = bk >= sk
+    # the all-heads kernel handles only tiny-KV (cross-attention); everything
+    # else runs head-per-program (BH-major)
+    eff_h = h if sk <= LANES else 1
+
+    def vmem_bytes(bq, bk):
+        qo = 2 * bq * eff_h * d * itemsize * 2    # q + o blocks (double-buffered)
+        # k + v blocks; double-buffered unless the index map is constant
+        kv = 2 * bk * eff_h * d * itemsize * (1 if single_kv else 2)
+        scratch = 0 if single_kv else bq * (2 * LANES + d) * 4  # m, l, acc
+        temps = 4 * bq * bk * 4                   # s, p, exp/alpha f32 temps
+        return qo + kv + scratch + temps
+
+    # shrink the kv block first (it dominates via double buffering), then q
+    while vmem_bytes(bq, bk) > VMEM_BUDGET and (bq > 128 or bk > LANES):
+        if bk > 512 and not single_kv:
+            bk //= 2
+        elif bq > 128:
+            bq //= 2
+        elif bk > LANES and not single_kv:
+            bk //= 2
+        else:
+            break
+    return bq, bk
 
 
 @functools.partial(
@@ -144,20 +184,24 @@ def flash_attention(
     """Multi-head attention over channel-packed operands.
 
     q: (B, Sq, H*D); k, v: (B, Sk, H*D) -> (B, Sq, H*D). Non-causal. Heads are
-    sliced out of the channel axis by the grid's index map — no transposes.
+    sliced inside the kernel — the layout never transposes.
     """
     if interpret is None:
         interpret = interpret_mode()
     b, sq, c = q.shape
     sk = k.shape[1]
     assert c % num_heads == 0, (c, num_heads)
-    d = c // num_heads
+    h = num_heads
+    d = c // h
     if scale is None:
         scale = 1.0 / np.sqrt(d)
 
-    auto_q, auto_k = _pick_blocks(sq, sk, d)
+    auto_q, auto_k = _pick_blocks(sq, sk, h, d, q.dtype.itemsize)
     block_q = min(block_q or auto_q, round_up(sq, 8))
     block_k = min(block_k or auto_k, round_up(sk, LANES))
+    if sk <= LANES:
+        # tiny-KV path requires the whole (padded) KV in one block
+        block_k = round_up(sk, LANES)
 
     # pad seq lens to block multiples (static shapes; XLA folds the pads)
     sq_p = round_up(sq, block_q)
@@ -166,47 +210,87 @@ def flash_attention(
     kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
     vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
 
-    h = num_heads
-    if sk_p == block_k:
-        out = pl.pallas_call(
+    if sk_p <= LANES:
+        # tiny-KV (cross-attention) fast path: transpose-free all-heads kernel
+        # on the 4D view; one output per head (2D stores), lane-concat back —
+        # 7.7x over the XLA attention at SDXL cross shapes
+        qp = qp.reshape(b, sq_p, h, d)
+        kp = kp.reshape(b, sk_p, h, d)
+        vp = vp.reshape(b, sk_p, h, d)
+        out_shape = [jax.ShapeDtypeStruct((b, sq_p, d), q.dtype) for _ in range(h)]
+        out_spec = [pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0))
+                    for _ in range(h)]
+        outs = pl.pallas_call(
             functools.partial(_single_kv_kernel, scale=float(scale), kv_len=sk),
-            grid=(b, h, sq_p // block_q),
+            grid=(b, sq_p // block_q),
             in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda i, hh, j: (i, j, hh)),
-                pl.BlockSpec((1, block_k, d), lambda i, hh, j: (i, 0, hh)),
-                pl.BlockSpec((1, block_k, d), lambda i, hh, j: (i, 0, hh)),
+                pl.BlockSpec((1, block_q, h, d), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, block_k, h, d), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((1, block_k, h, d), lambda i, j: (i, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d), lambda i, hh, j: (i, j, hh)),
-            out_shape=jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+            out_specs=out_spec,
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "parallel"),
+                dimension_semantics=("parallel", "parallel"),
             ),
             interpret=interpret,
         )(qp, kp, vp)
+        out = jnp.concatenate(outs, axis=-1) if h > 1 else outs[0]
+        if sq_p != sq:
+            out = out[:, :sq, :]
+        return out
+
+    # self-attention / VAE: head-major kernels — larger blocks fit VMEM
+    # because each program holds one head; for h == 1 the reshape is free,
+    # for h > 1 it costs one transpose (still a large net win at these
+    # shapes: 4.1x over the XLA attention at S=4096)
+    def to_bh(x, s):
+        x = x.reshape(b, s, h, d)
+        return x.swapaxes(1, 2).reshape(b * h, s, d) if h > 1 else x.reshape(b, s, d)
+
+    qf, kf, vf = to_bh(qp, sq_p), to_bh(kp, sk_p), to_bh(vp, sk_p)
+    if sk_p == block_k:
+        out = pl.pallas_call(
+            functools.partial(_single_kv_kernel_bh, scale=float(scale), kv_len=sk),
+            grid=(b * h, sq_p // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, block_k, d), lambda i, j: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf)
     else:
         out = pl.pallas_call(
             functools.partial(
                 _flash_kernel, scale=float(scale), kv_len=sk, block_k=block_k
             ),
-            grid=(b, h, sq_p // block_q, sk_p // block_k),
+            grid=(b * h, sq_p // block_q, sk_p // block_k),
             in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda i, hh, j, kk: (i, j, hh)),
-                pl.BlockSpec((1, block_k, d), lambda i, hh, j, kk: (i, kk, hh)),
-                pl.BlockSpec((1, block_k, d), lambda i, hh, j, kk: (i, kk, hh)),
+                pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0)),
+                pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d), lambda i, hh, j, kk: (i, j, hh)),
-            out_shape=jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+            out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
             scratch_shapes=[
                 pltpu.VMEM((block_q, LANES), jnp.float32),
                 pltpu.VMEM((block_q, LANES), jnp.float32),
                 pltpu.VMEM((block_q, d), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(qp, kp, vp)
+        )(qf, kf, vf)
 
+    out = out.reshape(b, h, sq_p, d).swapaxes(1, 2).reshape(b, sq_p, c) \
+        if h > 1 else out.reshape(b, sq_p, c)
     if sq_p != sq:
         out = out[:, :sq, :]
     return out
