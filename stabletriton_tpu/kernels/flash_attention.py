@@ -144,14 +144,18 @@ def _pick_blocks(sq: int, sk: int, h: int, d: int, itemsize: int):
     single_kv = bk >= sk
     # the all-heads kernel handles only tiny-KV (cross-attention); everything
     # else runs head-per-program (BH-major)
-    eff_h = h if sk <= LANES else 1
+    all_heads = sk <= LANES
+    eff_h = h if all_heads else 1
 
     def vmem_bytes(bq, bk):
         qo = 2 * bq * eff_h * d * itemsize * 2    # q + o blocks (double-buffered)
         # k + v blocks; double-buffered unless the index map is constant
         kv = 2 * bk * eff_h * d * itemsize * (1 if single_kv else 2)
         scratch = 0 if single_kv else bq * (2 * LANES + d) * 4  # m, l, acc
-        temps = 4 * bq * bk * 4                   # s, p, exp/alpha f32 temps
+        # live f32 softmax temps: the all-heads kernel keeps more in flight
+        # (empirically 4x bq*bk; the BH-major kernels compile fine at 2x —
+        # (512,1024) runs on hardware and is the tuned optimum)
+        temps = (4 if all_heads else 2) * bq * bk * 4
         return qo + kv + scratch + temps
 
     # shrink the kv block first (it dominates via double buffering), then q
