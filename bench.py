@@ -27,6 +27,8 @@ def _build(binding: str, lat: int):
     from stabletriton_tpu.compile import CompileConfig, compile_unet
     from stabletriton_tpu.models.unet import init_unet_params, sdxl_base_unet_config
 
+    from stabletriton_tpu.compile import fuse_attention_projections
+
     cfg = sdxl_base_unet_config()
     if binding.startswith("ops:"):
         # e.g. "ops:attention,geglu" — reference base + the listed pallas ops
@@ -38,6 +40,10 @@ def _build(binding: str, lat: int):
         ccfg = CompileConfig(backend=binding, dtype="bfloat16")
     fn = compile_unet(cfg, ccfg)
     params = init_unet_params(cfg, 0, dtype=jnp.bfloat16)
+    if binding != "reference":
+        # projection fusion is part of the optimized compile path; the
+        # baseline stays the stock (unfused) XLA program
+        params = fuse_attention_projections(params)
 
     rng = np.random.default_rng(0)
     b = 2

@@ -318,11 +318,18 @@ def _attention_layer(p, key: str, x, context, num_heads: int):
     """Multi-head attention (self if context is x). Maps to the fused flash
     kernel via ops.attention — the analog of the reference's fuse_attention
     pass (``replace_attention.py:76-92``). Operands stay channel-packed
-    (B, S, H*D); the pallas backend slices heads in its grid, so no transpose
-    ever materializes."""
-    q = ops.linear(x, p[f"{key}.to_q.weight"])
-    k = ops.linear(context, p[f"{key}.to_k.weight"])
-    v = ops.linear(context, p[f"{key}.to_v.weight"])
+    (B, S, H*D). Detects fused projection weights when present
+    (compile.fuse_attention_projections): one wide qkv/kv dot instead of
+    three/two narrow ones — the reference's planned-but-unwired QKV fusion."""
+    if f"{key}.to_qkv.weight" in p:
+        q, k, v = jnp.split(ops.linear(x, p[f"{key}.to_qkv.weight"]), 3, axis=-1)
+    elif f"{key}.to_kv.weight" in p:
+        q = ops.linear(x, p[f"{key}.to_q.weight"])
+        k, v = jnp.split(ops.linear(context, p[f"{key}.to_kv.weight"]), 2, axis=-1)
+    else:
+        q = ops.linear(x, p[f"{key}.to_q.weight"])
+        k = ops.linear(context, p[f"{key}.to_k.weight"])
+        v = ops.linear(context, p[f"{key}.to_v.weight"])
     out = ops.attention(q, k, v, num_heads=num_heads)
     return ops.linear(out, p[f"{key}.to_out.0.weight"], p[f"{key}.to_out.0.bias"])
 

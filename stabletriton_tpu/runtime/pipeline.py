@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from stabletriton_tpu import ops
-from stabletriton_tpu.compile import CompileConfig, resolve_binding
+from stabletriton_tpu.compile import (
+    CompileConfig,
+    fuse_attention_projections,
+    resolve_binding,
+)
 from stabletriton_tpu.models import clip as clip_mod
 from stabletriton_tpu.models import vae as vae_mod
 from stabletriton_tpu.models.unet import UNetConfig, unet_apply
@@ -53,6 +57,11 @@ class SDXLPipeline:
     scheduler_config: sched.SchedulerConfig = field(default_factory=sched.SchedulerConfig)
     _cache: dict[Any, Any] = field(default_factory=dict, repr=False)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def __post_init__(self):
+        if self.compile_config.backend != "reference":
+            self.params = dict(self.params)
+            self.params["unet"] = fuse_attention_projections(self.params["unet"])
 
     # ------------------------------------------------------------------
     def _build(self, *, batch, height, width, steps, guidance_scale, solver,
