@@ -142,6 +142,7 @@ class SDXLPipeline:
     ):
         """Generate images; returns (B, height, width, 3) in [-1, 1]
         (or final latents if return_latents)."""
+        self._check_resolution(height, width)
         batch = int(ids1.shape[0])
         if neg_ids1 is None:
             neg_ids1 = jnp.zeros_like(ids1)
@@ -262,6 +263,18 @@ class SDXLPipeline:
                 return jnp.clip(img, -1.0, 1.0)
 
         return jax.jit(program)
+
+    def _check_resolution(self, height: int, width: int) -> None:
+        """Latents must survive the UNet's downsampling levels cleanly."""
+        f = self.vae_config.spatial_scale_factor
+        unet_div = 2 ** (len(self.unet_config.block_out_channels) - 1)
+        step = f * unet_div
+        if height % step or width % step:
+            raise ValueError(
+                f"height/width must be multiples of {step} "
+                f"(VAE x{f} latents, UNet /{unet_div} downsampling); "
+                f"got {height}x{width}"
+            )
 
     def cache_signatures(self):
         """Compiled-program signatures (the hash_arg cache-key analog)."""

@@ -98,3 +98,18 @@ def test_txt2img_latents_path(pipe):
     lat = pipe.txt2img(ids1, ids2, height=32, width=32, steps=2, seed=0,
                        return_latents=True)
     assert lat.shape == (1, 16, 16, 4)
+
+
+def test_txt2img_multi_resolution(pipe):
+    """Non-square and different resolutions compile and run (multi-res serving)."""
+    ids1, ids2 = _ids(pipe)
+    img = pipe.txt2img(ids1, ids2, height=48, width=32, steps=2, seed=0)
+    assert img.shape == (1, 48, 32, 3)
+
+
+def test_txt2img_rejects_bad_resolution(pipe):
+    import pytest as _pytest
+
+    ids1, ids2 = _ids(pipe)
+    with _pytest.raises(ValueError, match="multiples"):
+        pipe.txt2img(ids1, ids2, height=30, width=32, steps=2)
