@@ -54,6 +54,19 @@ def resolve_binding(config: CompileConfig) -> dict[str, str]:
         # import registers the pallas backends
         import stabletriton_tpu.kernels  # noqa: F401
 
+        # capability check — the analog of the reference's CUDA + SM>=8.0
+        # asserts (optimization.py:29-33), but degrading instead of refusing:
+        # off-TPU the kernels run interpreted (correct, slow), so warn once.
+        if jax.default_backend() != "tpu":
+            import logging
+
+            logging.getLogger("stabletriton_tpu").warning(
+                "pallas binding requested on %r backend: kernels will run in "
+                "interpreter mode (correct but slow); use backend='reference' "
+                "for plain XLA speed off-TPU",
+                jax.default_backend(),
+            )
+
     binding: dict[str, str] = {}
     registered = ops.registered_ops()
     if config.backend == "pallas":
