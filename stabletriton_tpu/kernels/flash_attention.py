@@ -6,23 +6,27 @@ attention (reference ``src/stabletriton/optimizers/replace_attention.py:60-92``;
 its own Triton FA2 kernel at ``src/stabletriton/kernels/attention_fa2.py`` has
 the same online-softmax structure this kernel uses, but went unused at runtime).
 
-TPU design (not a translation):
-  * operands stay in the model's natural (B, S, H*D) layout, viewed as
-    (B, S, H, D) — a free reshape. Each program receives a block spanning
-    *all heads* ((1, block_q, H, D): trailing dims equal the array's, which
-    satisfies Mosaic's (8,128) tiling rule for any head_dim) and loops heads
-    in-kernel. This kills the (B,S,H,D)<->(B,H,S,D) transposes XLA needed
-    (~11 ms/step at SDXL shapes) AND amortizes per-program overhead across
-    heads (10-20x fewer grid programs than a head-per-program layout);
-  * grid = (B, q_blocks, kv_blocks), kv innermost with "arbitrary" semantics —
-    Pallas double-buffers K/V DMAs against the MXU; the (Sq, Sk) score matrix
-    never touches HBM (XLA's naive softmax-attention writes ~26 GB/step);
-  * online softmax with running max/denominator in (H, block_q, 128)
-    lane-broadcast f32 scratch; fp32 accumulation for both dots;
-  * a single-KV-block fast path (plain in-register softmax, no scratch) for
-    SDXL cross-attention (KV 77 -> one 128 block) and short self-attention;
-  * zero-padded keys masked to -1e30; block sizes tuned on v5e
-    (scripts/tune_attention.py) and shrunk automatically to a VMEM budget.
+TPU design (not a translation) — three kernels routed per shape, all taking
+the model's natural channel-packed (B, S, H*D) operands:
+
+  * tiny-KV (SDXL cross-attention, KV 77 -> one 128 block): an *all-heads*
+    kernel on the free (B, S, H, D) view — blocks span every head (trailing
+    dims equal the array's, satisfying Mosaic's (8,128) tiling rule for any
+    head_dim), heads loop in-kernel, outputs emit per-head (Mosaic cannot
+    unsqueeze 2D stores into 4D slots) and lane-concat back. Zero transposes;
+    2.4-7.7x over the XLA attention at SDXL cross shapes;
+  * short self-attention (KV fits one block): BH-major single-KV kernel,
+    plain in-register softmax, no scratch;
+  * long self-attention / VAE: BH-major online-softmax kernel, grid
+    (B*H, q_blocks, kv_blocks) with kv innermost ("arbitrary") — Pallas
+    double-buffers K/V DMAs against the MXU and the (Sq, Sk) score matrix
+    never touches HBM (XLA's naive attention writes ~26 GB/step of scores);
+    running max/denominator in lane-broadcast (block_q, 128) f32 scratch;
+    4.1x over XLA at the 4096-token self-attention shape.
+
+fp32 accumulation for both dots everywhere; zero-padded keys masked to -1e30;
+block sizes tuned on v5e (scripts/tune_attention.py) and auto-shrunk against
+an explicit VMEM byte model (~16MB scoped limit).
 """
 
 from __future__ import annotations
