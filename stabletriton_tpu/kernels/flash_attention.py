@@ -51,7 +51,6 @@ def _flash_kernel(
     o_ref,                  # (1, block_q, D)
     m_ref, l_ref, acc_ref,  # scratch: (block_q, LANES) x2, (block_q, D) f32
     *,
-    scale: float,
     kv_len: int,
     block_k: int,
 ):
@@ -67,7 +66,7 @@ def _flash_kernel(
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
     if kv_len % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
@@ -92,7 +91,7 @@ def _flash_kernel(
         o_ref[0] = (acc_ref[...] / l_ref[..., :1].clip(1e-30)).astype(o_ref.dtype)
 
 
-def _single_kv_kernel(q_ref, k_ref, v_ref, *o_refs, scale, kv_len):
+def _single_kv_kernel(q_ref, k_ref, v_ref, *o_refs, kv_len):
     """Fast path when all of K/V fits one block (SDXL cross-attention, 77->128,
     and short self-attention): plain softmax in-register, no scratch."""
     h = q_ref.shape[2]
@@ -104,7 +103,7 @@ def _single_kv_kernel(q_ref, k_ref, v_ref, *o_refs, scale, kv_len):
         k = k_ref[0, :, i, :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
         if kv_len != block_k:
             s = jnp.where(col < kv_len, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
@@ -117,13 +116,13 @@ def _single_kv_kernel(q_ref, k_ref, v_ref, *o_refs, scale, kv_len):
         o_refs[i][0] = (o / l).astype(o_refs[i].dtype)
 
 
-def _single_kv_kernel_bh(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len):
+def _single_kv_kernel_bh(q_ref, k_ref, v_ref, o_ref, *, kv_len):
     """BH-major single-KV-block kernel (one head per program, no scratch)."""
     q = q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
     if kv_len != k_ref.shape[1]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
@@ -211,6 +210,10 @@ def flash_attention(
         # tiny-KV path requires the whole (padded) KV in one block
         block_k = round_up(sk, LANES)
 
+    # fold the softmax scale into q once — XLA fuses it into the producing
+    # matmul, saving a (block_q, block_k) multiply in every kernel program
+    q = q * jnp.asarray(scale, q.dtype)
+
     # pad seq lens to block multiples (static shapes; XLA folds the pads)
     sq_p = round_up(sq, block_q)
     sk_p = round_up(sk, block_k)
@@ -229,7 +232,7 @@ def flash_attention(
         out_spec = [pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0))
                     for _ in range(h)]
         outs = pl.pallas_call(
-            functools.partial(_single_kv_kernel, scale=float(scale), kv_len=sk),
+            functools.partial(_single_kv_kernel, kv_len=sk),
             grid=(b, sq_p // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, h, d), lambda i, j: (i, j, 0, 0)),
@@ -259,7 +262,7 @@ def flash_attention(
     qf, kf, vf = to_bh(qp, sq_p), to_bh(kp, sk_p), to_bh(vp, sk_p)
     if sk_p == block_k:
         out = pl.pallas_call(
-            functools.partial(_single_kv_kernel_bh, scale=float(scale), kv_len=sk),
+            functools.partial(_single_kv_kernel_bh, kv_len=sk),
             grid=(b * h, sq_p // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
@@ -276,7 +279,7 @@ def flash_attention(
     else:
         out = pl.pallas_call(
             functools.partial(
-                _flash_kernel, scale=float(scale), kv_len=sk, block_k=block_k
+                _flash_kernel, kv_len=sk, block_k=block_k
             ),
             grid=(b * h, sq_p // block_q, sk_p // block_k),
             in_specs=[
