@@ -141,6 +141,9 @@ def _pick_blocks(sq: int, sk: int, h: int, d: int, itemsize: int):
     the VMEM budget: blocks span all heads, so bytes scale with H."""
     if sk <= LANES:
         bq, bk = min(sq, 4096), LANES
+    elif sk <= 1024:
+        # single-KV-per-head path: bigger q blocks halve the program count
+        bq, bk = 1024, 1024
     else:
         bq, bk = 512, 1024
 
