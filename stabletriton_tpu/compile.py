@@ -30,7 +30,7 @@ from stabletriton_tpu.models.unet import UNetConfig, unet_apply
 PALLAS_OPS = ("attention",)
 
 # Fused kernels that exist but are opt-in (bind via overrides):
-OPTIONAL_PALLAS_OPS = ("geglu", "group_norm", "layer_norm", "time_embed", "dropout")
+OPTIONAL_PALLAS_OPS = ("geglu", "group_norm", "layer_norm", "linear", "time_embed", "dropout")
 
 
 @dataclass(frozen=True)

@@ -10,6 +10,8 @@ redesigned for TPU:
   time_embed      — fused sinusoidal timestep embedding
   dropout         — seeded dropout (TPU PRNG; unwired in inference, like the
                     reference's)
+  linear          — fused matmul+bias+activation GEMM (opt-in; XLA's dot wins
+                    by default, mirroring the reference's disabled linear pass)
 """
 
 from stabletriton_tpu.kernels import (  # noqa: F401
@@ -18,5 +20,6 @@ from stabletriton_tpu.kernels import (  # noqa: F401
     geglu,
     group_norm,
     layer_norm,
+    linear,
     time_embed,
 )

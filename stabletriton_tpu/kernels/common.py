@@ -42,3 +42,17 @@ def rows_for_budget(
     rows = budget_bytes // max(per_row, 1)
     rows = min(max_rows, max(8, (rows // 8) * 8))
     return rows
+
+
+def erf_approx(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7) — Mosaic has no
+    native erf lowering, so kernels carry their own."""
+    import jax.numpy as jnp
+
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))

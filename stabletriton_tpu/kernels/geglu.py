@@ -14,26 +14,14 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from stabletriton_tpu.kernels.common import interpret_mode, round_up, rows_for_budget
+from stabletriton_tpu.kernels.common import erf_approx, interpret_mode, round_up, rows_for_budget
 from stabletriton_tpu.ops.registry import register
-
-
-def _erf(x):
-    """erf via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7) — Mosaic has no
-    native erf lowering, so the kernel carries its own."""
-    p = 0.3275911
-    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
 def _geglu_kernel(state_ref, gate_ref, o_ref):
     gate = gate_ref[...].astype(jnp.float32)
     # erf-based (exact) gelu, like the reference kernel: 0.5*g*(1+erf(g/sqrt2))
-    act = 0.5 * gate * (1.0 + _erf(gate * (2.0**-0.5)))
+    act = 0.5 * gate * (1.0 + erf_approx(gate * (2.0**-0.5)))
     o_ref[...] = (state_ref[...].astype(jnp.float32) * act).astype(o_ref.dtype)
 
 

@@ -124,3 +124,17 @@ def test_unet_pallas_binding_parity():
     ref = ref_fn(params, *inputs)
     pal = pal_fn(params, *inputs)
     np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-3)
+
+
+@pytest.mark.parametrize("act", [None, "silu", "gelu"])
+@pytest.mark.parametrize("shape", [((6, 40), (40, 24)), ((2, 9, 130), (130, 250))])
+def test_linear_kernel_parity(shape, act):
+    from stabletriton_tpu.kernels.linear import fused_linear
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal(shape[0], dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal(shape[1], dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(shape[1][1], dtype=np.float32))
+    out = fused_linear(x, w, b, act=act, block_m=8, block_n=128, block_k=128)
+    ref = ops.linear(x, w, b, act=act)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
