@@ -123,7 +123,6 @@ def fuse_attention_projections(params: dict) -> dict:
     (in, C) dots. Returns a new dict; originals are not mutated.
     """
     out = dict(params)
-    fused = 0
     for key in list(params):
         if key.endswith(".attn1.to_q.weight"):
             base = key[: -len(".to_q.weight")]
@@ -132,7 +131,6 @@ def fuse_attention_projections(params: dict) -> dict:
                 out[f"{base}.to_qkv.weight"] = jnp.concatenate(
                     [out.pop(n) for n in names], axis=1
                 )
-                fused += 1
         elif key.endswith(".attn2.to_k.weight"):
             base = key[: -len(".to_k.weight")]
             names = [f"{base}.to_{x}.weight" for x in ("k", "v")]
@@ -140,5 +138,4 @@ def fuse_attention_projections(params: dict) -> dict:
                 out[f"{base}.to_kv.weight"] = jnp.concatenate(
                     [out.pop(n) for n in names], axis=1
                 )
-                fused += 1
     return out

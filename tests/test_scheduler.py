@@ -114,3 +114,17 @@ def test_denoise_loop_euler_matches_manual_loop():
         eps = eps_u + 3.0 * (eps_c - eps_u)
         lat = lat + eps * (sigma_next - sigma)
     np.testing.assert_allclose(np.asarray(got), np.asarray(lat), rtol=1e-5)
+
+
+def test_karras_sigmas():
+    s = sched.make_schedule(
+        sched.SchedulerConfig(use_karras_sigmas=True), 10
+    )
+    assert s.sigmas.shape == (11,)
+    assert np.all(np.diff(s.sigmas) < 0)
+    assert s.sigmas[-1] == 0.0
+    # karras rho-7 spacing: interior sigma follows the closed form
+    smax, smin = s.sigmas[0], s.sigmas[-2]
+    ramp = np.linspace(0, 1, 10)
+    expected = (smax ** (1 / 7) + ramp * (smin ** (1 / 7) - smax ** (1 / 7))) ** 7
+    np.testing.assert_allclose(s.sigmas[:-1], expected, rtol=1e-5)
