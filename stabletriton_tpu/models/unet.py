@@ -58,10 +58,14 @@ class UNetConfig:
     norm_num_groups: int = 32
     norm_eps: float = 1e-5
     transformer_norm_eps: float = 1e-6
-    addition_time_embed_dim: int = 256
-    projection_class_embeddings_input_dim: int = 2816
+    # None = no added (text_time) conditioning — SD1.x/2.x UNets
+    addition_time_embed_dim: int | None = 256
+    projection_class_embeddings_input_dim: int | None = 2816
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
+    # SD1.x/2.x fix the *number* of heads per level (head_dim varies);
+    # SDXL fixes head_dim=64 (head count varies). None = use attention_head_dim.
+    fixed_num_heads: int | None = None
     # mid-block transformer depth; None = reuse the deepest cross-attn level's
     # (SDXL-base: 10). The refiner needs this explicit (its last *down* level
     # is conv-only but its mid block still has 4 transformer layers).
@@ -88,12 +92,60 @@ class UNetConfig:
         return tuple(mapping[t] for t in reversed(self.down_block_types))
 
     def num_heads(self, channels: int) -> int:
+        if self.fixed_num_heads is not None:
+            assert channels % self.fixed_num_heads == 0
+            return self.fixed_num_heads
         assert channels % self.attention_head_dim == 0
         return channels // self.attention_head_dim
+
+    @property
+    def has_addition_embedding(self) -> bool:
+        return self.projection_class_embeddings_input_dim is not None
 
 
 def sdxl_base_unet_config() -> UNetConfig:
     return UNetConfig()
+
+
+def sd15_unet_config() -> UNetConfig:
+    """Stable Diffusion 1.x UNet (runwayml/stable-diffusion-v1-5): 4 levels,
+    conv-only innermost, 8 heads at every level (head_dim varies), 768-wide
+    cross attention, no added (text_time) conditioning."""
+    return UNetConfig(
+        block_out_channels=(320, 640, 1280, 1280),
+        down_block_types=(
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "DownBlock2D",
+        ),
+        transformer_layers_per_block=(1, 1, 1, 1),
+        cross_attention_dim=768,
+        fixed_num_heads=8,
+        addition_time_embed_dim=None,
+        projection_class_embeddings_input_dim=None,
+        mid_block_layers=1,
+    )
+
+
+def sd21_unet_config() -> UNetConfig:
+    """Stable Diffusion 2.x UNet: SD1.x topology with 1024-wide cross
+    attention and head_dim 64 per level (like SDXL)."""
+    return UNetConfig(
+        block_out_channels=(320, 640, 1280, 1280),
+        down_block_types=(
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "DownBlock2D",
+        ),
+        transformer_layers_per_block=(1, 1, 1, 1),
+        cross_attention_dim=1024,
+        attention_head_dim=64,
+        addition_time_embed_dim=None,
+        projection_class_embeddings_input_dim=None,
+        mid_block_layers=1,
+    )
 
 
 def sdxl_refiner_unet_config() -> UNetConfig:
@@ -196,8 +248,9 @@ def unet_param_shapes(cfg: UNetConfig) -> dict[str, tuple[int, ...]]:
     b.conv("conv_in", cfg.in_channels, ch0)
     b.linear("time_embedding.linear_1", ch0, temb)
     b.linear("time_embedding.linear_2", temb, temb)
-    b.linear("add_embedding.linear_1", cfg.projection_class_embeddings_input_dim, temb)
-    b.linear("add_embedding.linear_2", temb, temb)
+    if cfg.has_addition_embedding:
+        b.linear("add_embedding.linear_1", cfg.projection_class_embeddings_input_dim, temb)
+        b.linear("add_embedding.linear_2", temb, temb)
 
     # down path
     cin = ch0
@@ -421,17 +474,18 @@ def unet_apply(
         jax.nn.silu(temb), p["time_embedding.linear_2.weight"], p["time_embedding.linear_2.bias"]
     )
 
-    tids = ops.time_embed(
-        time_ids.reshape(-1), dim=cfg.addition_time_embed_dim,
-        flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift,
-    ).astype(dtype)
-    tids = tids.reshape(sample.shape[0], -1)
-    add = jnp.concatenate([text_embeds.astype(dtype), tids], axis=-1)
-    add = ops.linear(add, p["add_embedding.linear_1.weight"], p["add_embedding.linear_1.bias"])
-    add = ops.linear(
-        jax.nn.silu(add), p["add_embedding.linear_2.weight"], p["add_embedding.linear_2.bias"]
-    )
-    temb = temb + add
+    if cfg.has_addition_embedding:
+        tids = ops.time_embed(
+            time_ids.reshape(-1), dim=cfg.addition_time_embed_dim,
+            flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift,
+        ).astype(dtype)
+        tids = tids.reshape(sample.shape[0], -1)
+        add = jnp.concatenate([text_embeds.astype(dtype), tids], axis=-1)
+        add = ops.linear(add, p["add_embedding.linear_1.weight"], p["add_embedding.linear_1.bias"])
+        add = ops.linear(
+            jax.nn.silu(add), p["add_embedding.linear_2.weight"], p["add_embedding.linear_2.bias"]
+        )
+        temb = temb + add
 
     ctx = encoder_hidden_states.astype(dtype)
 

@@ -55,6 +55,8 @@ class SDXLPipeline:
     params: dict[str, dict[str, jax.Array]]  # keys: unet, text_encoder, text_encoder_2, vae
     compile_config: CompileConfig = field(default_factory=CompileConfig)
     scheduler_config: sched.SchedulerConfig = field(default_factory=sched.SchedulerConfig)
+    # SD2.x conventionally conditions on the penultimate encoder layer
+    clip_skip: int = 1
     _cache: dict[Any, Any] = field(default_factory=dict, repr=False)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
@@ -85,20 +87,30 @@ class SDXLPipeline:
             with ops.use_backends(binding):
                 # --- text encoding (cond + uncond), fp32 encoders ---
                 ids1_all = jnp.concatenate([neg_ids1, ids1], axis=0)
-                ids2_all = jnp.concatenate([neg_ids2, ids2], axis=0)
-                ctx, pooled = clip_mod.encode_sdxl_prompts(
-                    self.clip_config, params["text_encoder"],
-                    self.clip2_config, params["text_encoder_2"],
-                    ids1_all, ids2_all,
-                )
-                ctx = ctx.astype(dtype)
-                pooled = pooled.astype(dtype)
-
-                # --- SDXL micro-conditioning: [oh, ow, ct, cl, th, tw] ---
-                tid = jnp.asarray(
-                    [height, width, 0, 0, height, width], jnp.float32
-                )
-                time_ids = jnp.broadcast_to(tid, (2 * batch, 6))
+                if ucfg.has_addition_embedding:
+                    # SDXL: dual encoders, penultimate states + pooled bigG
+                    ids2_all = jnp.concatenate([neg_ids2, ids2], axis=0)
+                    ctx, pooled = clip_mod.encode_sdxl_prompts(
+                        self.clip_config, params["text_encoder"],
+                        self.clip2_config, params["text_encoder_2"],
+                        ids1_all, ids2_all,
+                    )
+                    ctx = ctx.astype(dtype)
+                    pooled = pooled.astype(dtype)
+                    # SDXL micro-conditioning: [oh, ow, ct, cl, th, tw]
+                    tid = jnp.asarray(
+                        [height, width, 0, 0, height, width], jnp.float32
+                    )
+                    time_ids = jnp.broadcast_to(tid, (2 * batch, 6))
+                else:
+                    # SD1.x/2.x: one encoder, final (or clip-skipped) states,
+                    # no added conditioning
+                    pen, final, _ = clip_mod.clip_apply(
+                        self.clip_config, params["text_encoder"], ids1_all
+                    )
+                    ctx = (pen if self.clip_skip >= 2 else final).astype(dtype)
+                    pooled = jnp.zeros((2 * batch, 0), dtype)
+                    time_ids = jnp.zeros((2 * batch, 0), jnp.float32)
 
                 # --- noise init on device, one key per image: batching a
                 # request never changes its image (serving determinism) ---
@@ -461,6 +473,42 @@ def make_tiny_pipeline(compile_config: CompileConfig | None = None) -> SDXLPipel
     }
     return SDXLPipeline(
         unet_config=ucfg, clip_config=c1, clip2_config=c2, vae_config=vcfg,
+        params=params,
+        compile_config=compile_config or CompileConfig(backend="reference", dtype="float32"),
+    )
+
+
+def make_tiny_sd15_pipeline(
+    compile_config: CompileConfig | None = None,
+) -> SDXLPipeline:
+    """Tiny SD1.x-style pipeline: single text encoder (final-layer states),
+    fixed head count, no added conditioning."""
+    from stabletriton_tpu.models.unet import UNetConfig, init_unet_params
+
+    c1 = clip_mod.CLIPTextConfig(
+        vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=32, max_position_embeddings=16, eos_token_id=99,
+    )
+    ucfg = UNetConfig(
+        block_out_channels=(32, 64),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        layers_per_block=1,
+        transformer_layers_per_block=(1, 1),
+        fixed_num_heads=4,
+        cross_attention_dim=c1.hidden_size,
+        norm_num_groups=8,
+        addition_time_embed_dim=None,
+        projection_class_embeddings_input_dim=None,
+        mid_block_layers=1,
+    )
+    vcfg = vae_mod.tiny_vae_config()
+    params = {
+        "unet": init_unet_params(ucfg, 20),
+        "text_encoder": clip_mod.init_clip_params(c1, 21),
+        "vae": vae_mod.init_vae_params(vcfg, 22),
+    }
+    return SDXLPipeline(
+        unet_config=ucfg, clip_config=c1, clip2_config=c1, vae_config=vcfg,
         params=params,
         compile_config=compile_config or CompileConfig(backend="reference", dtype="float32"),
     )

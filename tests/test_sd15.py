@@ -1,0 +1,64 @@
+"""SD1.x/2.x model-family tests: configs, forward, single-encoder pipeline."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from stabletriton_tpu.models.unet import (
+    init_unet_params,
+    sd15_unet_config,
+    sd21_unet_config,
+    unet_apply,
+    unet_param_shapes,
+)
+from stabletriton_tpu.runtime.pipeline import make_tiny_sd15_pipeline
+
+
+def test_sd15_param_inventory():
+    shapes = unet_param_shapes(sd15_unet_config())
+    total = sum(int(np.prod(s)) for s in shapes.values())
+    assert total == 859_520_964  # the known SD1.5 UNet parameter count
+    assert "add_embedding.linear_1.weight" not in shapes
+    assert shapes["down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight"] == (768, 320)
+
+
+def test_sd21_param_inventory():
+    shapes = unet_param_shapes(sd21_unet_config())
+    total = sum(int(np.prod(s)) for s in shapes.values())
+    assert total == 865_910_724  # the known SD2.1 UNet parameter count
+
+
+def test_sd15_style_forward_no_added_conditioning():
+    cfg = make_tiny_sd15_pipeline().unet_config
+    params = init_unet_params(cfg, 0)
+    rng = np.random.default_rng(0)
+    out = unet_apply(
+        cfg, params,
+        jnp.asarray(rng.standard_normal((1, 16, 16, 4), dtype=np.float32)),
+        jnp.array([500.0]),
+        jnp.asarray(rng.standard_normal((1, 7, cfg.cross_attention_dim), dtype=np.float32)),
+        jnp.zeros((1, 0)),   # no pooled conditioning
+        jnp.zeros((1, 0)),   # no time_ids
+    )
+    assert out.shape == (1, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sd15_pipeline_txt2img():
+    pipe = make_tiny_sd15_pipeline()
+    ids = np.full((1, 16), 5, np.int32)
+    ids[:, -1] = 99
+    img = pipe.txt2img(jnp.asarray(ids), jnp.asarray(ids), height=32, width=32,
+                       steps=2, seed=3)
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sd21_clip_skip_changes_output():
+    a = make_tiny_sd15_pipeline()
+    ids = np.full((1, 16), 5, np.int32)
+    ids[:, -1] = 99
+    img1 = a.txt2img(jnp.asarray(ids), jnp.asarray(ids), height=32, width=32, steps=2)
+    b = make_tiny_sd15_pipeline()
+    b.clip_skip = 2
+    img2 = b.txt2img(jnp.asarray(ids), jnp.asarray(ids), height=32, width=32, steps=2)
+    assert not np.allclose(np.asarray(img1), np.asarray(img2))
