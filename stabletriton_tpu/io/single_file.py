@@ -247,6 +247,12 @@ def load_single_file(
             groups["te1"][name[len("conditioner.embedders.0.transformer."):]] = arr
         elif name.startswith("conditioner.embedders.1.model."):
             groups["te2_openclip"][name[len("conditioner.embedders.1.model."):]] = arr
+        # SD1.x single files: HF-named CLIP-L under cond_stage_model.transformer
+        elif name.startswith("cond_stage_model.transformer."):
+            groups["te1"][name[len("cond_stage_model.transformer."):]] = arr
+        # SD2.x single files: OpenCLIP-H under cond_stage_model.model
+        elif name.startswith("cond_stage_model.model."):
+            groups["te2_openclip"][name[len("cond_stage_model.model."):]] = arr
 
     unet = convert_sgm_unet(groups["unet_sgm"], unet_config)
     vae = convert_sgm_vae_decoder(groups["vae_sgm"])

@@ -35,15 +35,18 @@ def unet_config_from_diffusers(config: Any) -> UNetConfig:
     tf_layers = get("transformer_layers_per_block", 1)
     if isinstance(tf_layers, int):
         tf_layers = (tf_layers,) * len(get("block_out_channels"))
-    # diffusers' legacy naming: attention_head_dim is actually heads-per-level
-    # for SDXL; head dim itself is channels/heads = 64 across all levels.
     block_out = tuple(get("block_out_channels"))
+    # diffusers' legacy naming: attention_head_dim actually carries the *head
+    # count*. A per-level list (SDXL: [5,10,20]) implies a fixed head_dim
+    # (channels/heads, 64); a scalar (SD1.x: 8) implies a fixed head COUNT.
     heads = get("num_attention_heads") or get("attention_head_dim")
+    fixed_num_heads = None
     if isinstance(heads, (list, tuple)):
         head_dim = block_out[-1] // heads[-1]
     else:
-        head_dim = block_out[-1] // heads
+        head_dim, fixed_num_heads = 64, int(heads)
     return UNetConfig(
+        fixed_num_heads=fixed_num_heads,
         in_channels=get("in_channels", 4),
         out_channels=get("out_channels", 4),
         block_out_channels=block_out,
@@ -54,9 +57,14 @@ def unet_config_from_diffusers(config: Any) -> UNetConfig:
         cross_attention_dim=get("cross_attention_dim", 2048),
         norm_num_groups=get("norm_num_groups", 32),
         norm_eps=get("norm_eps", 1e-5),
-        addition_time_embed_dim=get("addition_time_embed_dim", 256),
-        projection_class_embeddings_input_dim=get(
-            "projection_class_embeddings_input_dim", 2816
+        # SD1.x/2.x have no added conditioning (addition_embed_type is None)
+        addition_time_embed_dim=(
+            get("addition_time_embed_dim", 256)
+            if get("addition_embed_type", "text_time") == "text_time" else None
+        ),
+        projection_class_embeddings_input_dim=(
+            get("projection_class_embeddings_input_dim", 2816)
+            if get("addition_embed_type", "text_time") == "text_time" else None
         ),
         flip_sin_to_cos=get("flip_sin_to_cos", True),
         freq_shift=get("freq_shift", 0.0),

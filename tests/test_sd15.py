@@ -62,3 +62,22 @@ def test_sd21_clip_skip_changes_output():
     b.clip_skip = 2
     img2 = b.txt2img(jnp.asarray(ids), jnp.asarray(ids), height=32, width=32, steps=2)
     assert not np.allclose(np.asarray(img1), np.asarray(img2))
+
+
+def test_sd15_config_from_diffusers_dict():
+    from stabletriton_tpu.io.torch_ingest import unet_config_from_diffusers
+
+    # the relevant subset of runwayml/stable-diffusion-v1-5 unet/config.json
+    cfg = unet_config_from_diffusers({
+        "in_channels": 4, "out_channels": 4,
+        "block_out_channels": [320, 640, 1280, 1280],
+        "down_block_types": ["CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+                             "CrossAttnDownBlock2D", "DownBlock2D"],
+        "layers_per_block": 2, "attention_head_dim": 8,
+        "cross_attention_dim": 768, "addition_embed_type": None,
+    })
+    assert cfg.fixed_num_heads == 8
+    assert not cfg.has_addition_embedding
+    assert cfg.num_heads(320) == 8 and cfg.num_heads(1280) == 8
+    total = sum(int(np.prod(s)) for s in unet_param_shapes(cfg).values())
+    assert total == 859_520_964
