@@ -149,6 +149,26 @@ class CLIPTokenizer:
     def encode_batch(self, texts: list[str], **kw) -> np.ndarray:
         return np.stack([self.encode(t, **kw) for t in texts])
 
+    def encode_windows(
+        self, text: str, *, windows: int | None = None, max_len: int = 77,
+        bos: int = 49406, eos: int = 49407, pad: int = 49407,
+    ) -> np.ndarray:
+        """Long-prompt encoding: split into (max_len-2)-token windows, each
+        framed with bos/eos (the A1111 convention the pipeline's chunked
+        encoder consumes). Returns (windows * max_len,) ids; ``windows=None``
+        uses as many as the prompt needs (minimum 1)."""
+        per = max_len - 2
+        ids: list[int] = []
+        for word in self._py._pretokenize(text):
+            ids.extend(self._py._encode_word(word))
+        k = windows or max(1, -(-len(ids) // per))
+        rows = []
+        for i in range(k):
+            chunk = ids[i * per:(i + 1) * per]
+            row = [bos] + chunk + [eos] + [pad] * (per - len(chunk))
+            rows.append(np.asarray(row, np.int32))
+        return np.concatenate(rows)
+
     def __del__(self):
         h = getattr(self, "_handle", None)
         if h:

@@ -185,13 +185,35 @@ def clip_apply(
     return penultimate, final, pooled
 
 
+def clip_apply_chunked(cfg: CLIPTextConfig, params: dict, ids: jax.Array):
+    """Long-prompt encoding: ids (B, k*max_pos) are encoded as k independent
+    77-token windows (the A1111 convention) and their hidden states
+    re-concatenated along the sequence — cross-attention then sees the full
+    prompt. Pooled output comes from the first window. Returns the same
+    (penultimate, final, pooled) triple as clip_apply."""
+    b, total = ids.shape
+    mp = cfg.max_position_embeddings
+    assert total % mp == 0, (total, mp)
+    k = total // mp
+    if k == 1:
+        return clip_apply(cfg, params, ids)
+    flat = ids.reshape(b * k, mp)
+    pen, final, pooled = clip_apply(cfg, params, flat)
+    pen = pen.reshape(b, k * mp, -1)
+    final = final.reshape(b, k * mp, -1)
+    if pooled is not None:
+        pooled = pooled.reshape(b, k, -1)[:, 0]
+    return pen, final, pooled
+
+
 def encode_sdxl_prompts(
     cfg1: CLIPTextConfig, params1: dict,
     cfg2: CLIPTextConfig, params2: dict,
     ids1: jax.Array, ids2: jax.Array,
 ):
-    """Dual-encoder SDXL conditioning: (B,77)+(B,77) token ids ->
-    (prompt_embeds (B,77,2048), pooled (B,1280))."""
-    h1, _, _ = clip_apply(cfg1, params1, ids1)
-    h2, _, pooled = clip_apply(cfg2, params2, ids2)
+    """Dual-encoder SDXL conditioning: (B, k*77)+(B, k*77) token ids ->
+    (prompt_embeds (B, k*77, 2048), pooled (B, 1280)). k > 1 windows encode
+    the long-prompt convention (clip_apply_chunked)."""
+    h1, _, _ = clip_apply_chunked(cfg1, params1, ids1)
+    h2, _, pooled = clip_apply_chunked(cfg2, params2, ids2)
     return jnp.concatenate([h1, h2], axis=-1), pooled

@@ -105,7 +105,7 @@ class SDXLPipeline:
                 else:
                     # SD1.x/2.x: one encoder, final (or clip-skipped) states,
                     # no added conditioning
-                    pen, final, _ = clip_mod.clip_apply(
+                    pen, final, _ = clip_mod.clip_apply_chunked(
                         self.clip_config, params["text_encoder"], ids1_all
                     )
                     ctx = (pen if self.clip_skip >= 2 else final).astype(dtype)

@@ -120,3 +120,18 @@ def test_tokenizer_truncation(toy_tok):
     ids = tok.encode("x y z w v u t s", max_len=5, bos=1, eos=2, pad=0)
     assert ids.shape == (5,)
     assert ids[0] == 1 and ids[-1] == 2
+
+
+def test_tokenizer_encode_windows(toy_tok):
+    vp, mp, vocab = toy_tok
+    tok = CLIPTokenizer(vp, mp)
+    bos, eos = vocab["<|startoftext|>"], vocab["<|endoftext|>"]
+    # 10 single-char words -> 10 tokens; window payload is max_len-2 = 6
+    out = tok.encode_windows("a b c d e f g h i j", max_len=8, bos=bos, eos=eos, pad=0)
+    assert out.shape == (16,)  # 2 windows of 8
+    assert out[0] == bos and out[8] == bos
+    assert out[7] == eos and list(out[13:15]) == [0, 0] or out[-1] in (0, eos)
+    # fixed window count pads out
+    out3 = tok.encode_windows("a b", windows=3, max_len=8, bos=bos, eos=eos, pad=0)
+    assert out3.shape == (24,)
+    assert out3[16] == bos  # third window exists, empty payload

@@ -113,3 +113,28 @@ def test_txt2img_rejects_bad_resolution(pipe):
     ids1, ids2 = _ids(pipe)
     with _pytest.raises(ValueError, match="multiples"):
         pipe.txt2img(ids1, ids2, height=30, width=32, steps=2)
+
+
+def test_long_prompt_chunking(pipe):
+    """ids wider than max_position_embeddings encode as 77-token windows and
+    the UNet cross-attends over the full concatenated sequence."""
+    from stabletriton_tpu.models import clip as clip_mod
+
+    mp = pipe.clip_config.max_position_embeddings
+    ids = np.full((1, mp * 2), 5, np.int32)
+    ids[:, mp - 1] = 99
+    ids[:, -1] = 99
+    pen, final, _ = clip_mod.clip_apply_chunked(
+        pipe.clip_config, pipe.params["text_encoder"], jnp.asarray(ids)
+    )
+    assert pen.shape == (1, 2 * mp, pipe.clip_config.hidden_size)
+    # first window must equal the standalone encoding of the same window
+    pen1, _, _ = clip_mod.clip_apply(
+        pipe.clip_config, pipe.params["text_encoder"], jnp.asarray(ids[:, :mp])
+    )
+    np.testing.assert_allclose(np.asarray(pen[:, :mp]), np.asarray(pen1), atol=1e-5)
+
+    # end-to-end: long prompts run through txt2img
+    img = pipe.txt2img(jnp.asarray(ids), jnp.asarray(ids),
+                       height=32, width=32, steps=2, seed=0)
+    assert img.shape == (1, 32, 32, 3)
