@@ -288,6 +288,29 @@ class SDXLPipeline:
                 f"got {height}x{width}"
             )
 
+    def img2img_image(
+        self,
+        image: jax.Array,  # (B, H, W, 3) in [-1, 1]
+        ids1: jax.Array | None,
+        ids2: jax.Array,
+        *,
+        encode_seed: int | None = None,
+        **kwargs,
+    ):
+        """img2img from pixels: VAE-encode the image (posterior mean, or a
+        sample when encode_seed is given), then refine via img2img(). Requires
+        encoder params ("encoder.*"/"quant_conv.*") in params["vae"]."""
+        if "encoder.conv_in.weight" not in self.params["vae"]:
+            raise ValueError(
+                "params['vae'] has no encoder weights; load the full VAE "
+                "(vae_encoder_param_shapes) to use image-input img2img"
+            )
+        rng = None if encode_seed is None else jax.random.PRNGKey(encode_seed)
+        latents = vae_mod.vae_encode(
+            self.vae_config, self.params["vae"], image.astype(jnp.float32), rng=rng
+        )
+        return self.img2img(latents, ids1, ids2, **kwargs)
+
     def cache_signatures(self):
         """Compiled-program signatures (the hash_arg cache-key analog)."""
         return sorted(self._cache)

@@ -66,3 +66,28 @@ def test_two_stage_pipeline():
     # base latents are 16x16 (tiny vae factor 2); refiner decode doubles them
     assert img.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_img2img_from_image():
+    from stabletriton_tpu.models import vae as vae_mod
+    from stabletriton_tpu.runtime.pipeline import make_tiny_pipeline
+
+    pipe = make_tiny_pipeline()
+    vae = dict(pipe.params["vae"])
+    vae.update(vae_mod.init_vae_encoder_params(pipe.vae_config, 9))
+    pipe.params["vae"] = vae
+    rng = np.random.default_rng(3)
+    img_in = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+    ids = _ids()
+    out = pipe.img2img_image(img_in, ids, ids, steps=3, strength=0.6, seed=1)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_img2img_image_requires_encoder():
+    from stabletriton_tpu.runtime.pipeline import make_tiny_pipeline
+    import pytest as _pytest
+
+    pipe = make_tiny_pipeline()
+    with _pytest.raises(ValueError, match="encoder"):
+        pipe.img2img_image(jnp.zeros((1, 32, 32, 3)), _ids(), _ids(), steps=2)
