@@ -158,3 +158,57 @@ def load_sdxl_single_file(
         tok2 = CLIPTokenizer(tdir / "tokenizer_2" / "vocab.json",
                              tdir / "tokenizer_2" / "merges.txt")
     return pipe, tok1, tok2
+
+
+def load_single_file_auto(
+    checkpoint: str | Path,
+    *,
+    compile_config: CompileConfig | None = None,
+    dtype=np.float32,
+    validate: bool = True,
+):
+    """Family-detecting single-file loader: SDXL, SD2.x or SD1.x.
+
+    Returns (SDXLPipeline, family). SD2.x pipelines come back with
+    clip_skip=2 (the SD2 convention).
+    """
+    import jax.numpy as jnp
+
+    from stabletriton_tpu.io.safetensors_io import read_safetensors
+    from stabletriton_tpu.io.single_file import detect_family, load_single_file
+    from stabletriton_tpu.models.unet import (
+        sd15_unet_config,
+        sd21_unet_config,
+        unet_param_shapes,
+    )
+    from stabletriton_tpu.runtime.pipeline import SDXLPipeline
+
+    family = detect_family(read_safetensors(checkpoint))
+    if family == "sdxl":
+        pipe, _, _ = load_sdxl_single_file(
+            checkpoint, compile_config=compile_config, dtype=dtype,
+            validate=validate,
+        )
+        return pipe, family
+
+    ucfg = sd15_unet_config() if family == "sd1" else sd21_unet_config()
+    c1 = (clip_mod.sd15_text_encoder_config() if family == "sd1"
+          else clip_mod.sd2_text_encoder_config())
+    vcfg = vae_mod.sd15_vae_config()
+    cc = compile_config or CompileConfig()
+    raw = load_single_file(checkpoint, unet_config=ucfg, dtype=dtype)
+    if validate:
+        validate_against_shapes(raw["unet"], unet_param_shapes(ucfg))
+    # SD1.x stores the encoder under te1 (HF naming); SD2.x under te2 (OpenCLIP)
+    te = raw["text_encoder"] if family == "sd1" else raw["text_encoder_2"]
+    params = {
+        "unet": {k: jnp.asarray(v, cc.jnp_dtype) for k, v in raw["unet"].items()},
+        "text_encoder": {k: jnp.asarray(v, jnp.float32) for k, v in te.items()},
+        "vae": {k: jnp.asarray(v, jnp.float32) for k, v in raw["vae"].items()},
+    }
+    pipe = SDXLPipeline(
+        unet_config=ucfg, clip_config=c1, clip2_config=c1, vae_config=vcfg,
+        params=params, compile_config=cc,
+        clip_skip=2 if family == "sd2" else 1,
+    )
+    return pipe, family

@@ -228,6 +228,17 @@ def convert_openclip_text(sd: dict[str, np.ndarray]):
 # ---------------------------------------------------------------------------
 
 
+def detect_family(tensor_names) -> str:
+    """"sdxl" | "sd2" | "sd1" from a single-file checkpoint's tensor names."""
+    names = list(tensor_names)
+    if any(n.startswith("conditioner.embedders.1.") for n in names):
+        return "sdxl"
+    if any(n.startswith("cond_stage_model.model.") for n in names):
+        return "sd2"
+    return "sd1"
+
+
+
 def load_single_file(
     path: str | Path, *, unet_config: UNetConfig | None = None, dtype=None
 ):

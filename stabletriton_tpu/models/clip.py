@@ -56,6 +56,23 @@ def sdxl_text_encoder_2_config() -> CLIPTextConfig:
     )
 
 
+def sd15_text_encoder_config() -> CLIPTextConfig:
+    """SD1.x text encoder == openai CLIP-L (same tower as SDXL's encoder 1)."""
+    return CLIPTextConfig()
+
+
+def sd2_text_encoder_config() -> CLIPTextConfig:
+    """SD2.x text encoder: OpenCLIP ViT-H text tower (1024-wide, 24 layers,
+    gelu); SD2 conditions on the penultimate layer (clip_skip=2)."""
+    return CLIPTextConfig(
+        hidden_size=1024,
+        num_layers=24,
+        num_heads=16,
+        intermediate_size=4096,
+        hidden_act="gelu",
+    )
+
+
 def tiny_clip_config() -> CLIPTextConfig:
     return CLIPTextConfig(
         vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,

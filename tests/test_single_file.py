@@ -199,3 +199,41 @@ def test_openclip_qkv_split_values():
     np.testing.assert_array_equal(
         out["text_model.encoder.layers.0.self_attn.v_proj.weight"], w[2 * d:]
     )
+
+
+def test_detect_family():
+    assert sf.detect_family(["conditioner.embedders.1.model.ln_final.weight",
+                             "model.diffusion_model.out.0.weight"]) == "sdxl"
+    assert sf.detect_family(["cond_stage_model.model.ln_final.weight"]) == "sd2"
+    assert sf.detect_family(["cond_stage_model.transformer.text_model.x"]) == "sd1"
+
+
+def test_sd15_unet_synthetic_single_file_roundtrip():
+    """SGM-named SD1.5 UNet tensors convert to the exact SD1.5 shape table."""
+    from stabletriton_tpu.models.unet import sd15_unet_config
+
+    cfg = sd15_unet_config()
+    expected = unet_param_shapes(cfg)
+    inv = _invert_unet_names(cfg)
+    sgm_sd = {}
+    for name, shape in expected.items():
+        mod, leaf = name.rsplit(".", 1)
+        best = None
+        for dpre, spre in inv.items():
+            if mod == dpre or mod.startswith(dpre + "."):
+                if best is None or len(dpre) > len(best[0]):
+                    best = (dpre, spre)
+        assert best, name
+        dpre, spre = best
+        rest = mod[len(dpre):].lstrip(".")
+        for dmod, smod in _RESNET_INV.items():
+            if rest == dmod or rest.startswith(dmod + "."):
+                rest = smod + rest[len(dmod):]
+                break
+        sgm_name = f"{spre}.{rest}.{leaf}" if rest else f"{spre}.{leaf}"
+        sgm_sd[sgm_name] = np.zeros(_torch_layout(name, shape), np.float32)
+
+    converted = sf.convert_sgm_unet(sgm_sd, cfg)
+    from stabletriton_tpu.io.safetensors_io import convert_state_dict
+
+    validate_against_shapes(convert_state_dict(converted), expected)
