@@ -43,12 +43,17 @@ def main(which: str | None = None):
         print(f"{op_name:11s} {label:34s} ref {r*1e3:8.3f}ms  pallas {p*1e3:8.3f}ms  "
               f"speedup {r/p:5.2f}x", flush=True)
 
-    # SDXL shapes: batch 2 (CFG), head_dim 64; levels 64x64 (640ch) & 32x32 (1280ch)
+    # SDXL shapes: batch 2 (CFG), head_dim 64; levels 64x64 (640ch) & 32x32
+    # (1280ch); KV=77 covers the cross-attention tiny-KV path. Channel-packed
+    # (B, S, H*D) operands — the op contract (ops/reference.py:53).
     if which in (None, "attention"):
         for b, h, s, kv in [(2, 10, 4096, 4096), (2, 20, 1024, 1024),
-                            (2, 10, 4096, 128), (2, 20, 1024, 128)]:
-            q, k, v = arr(b, h, s, 64), arr(b, h, kv, 64), arr(b, h, kv, 64)
-            ab("attention", f"B{b} H{h} S{s} KV{kv} D64", (q, k, v))
+                            (2, 10, 4096, 77), (2, 20, 1024, 77),
+                            # unseen-signature shapes (768², batch 4)
+                            (2, 10, 2304, 2304), (8, 10, 4096, 4096)]:
+            q, k, v = arr(b, s, h * 64), arr(b, kv, h * 64), arr(b, kv, h * 64)
+            ab("attention", f"B{b} H{h} S{s} KV{kv} D64", (q, k, v),
+               {"num_heads": h})
 
     if which in (None, "group_norm"):
         for n, hw, c in [(2, 128, 320), (2, 64, 640), (2, 32, 1280)]:

@@ -58,20 +58,29 @@ class StableTritonTPUCompile:
 
 class _ComfyUNetShim:
     """Adapts ComfyUI's UNet calling convention (x, timesteps, context, y)
-    to the compiled TPU step."""
+    to the compiled TPU step.
+
+    ComfyUI/SGM pass ``y``: the raw 2816-wide SDXL adm vector
+    ``concat(pooled_text 1280, fourier(time_ids) 6*256)`` built by
+    ``model_base.SDXL.encode_adm`` — NOT diffusers' separate
+    text_embeds/time_ids. The compiled UNet accepts this pre-projected form
+    directly (models/unet.unet_apply's SGM branch); the fourier layout
+    ([cos, sin], freq_shift 0) is identical between the two stacks."""
 
     def __init__(self, compiled):
         self.compiled = compiled
         self.dtype = compiled.dtype
 
     def __call__(self, x, timesteps=None, context=None, y=None, **kwargs):
-        # ComfyUI passes y = pooled+time_ids embedding already projected for
-        # SGM UNets; for the diffusers-style UNet we expect the pipeline to
-        # provide text_embeds/time_ids in kwargs (transformer_options route).
-        added = kwargs.get("added_cond_kwargs") or {
-            "text_embeds": kwargs.get("text_embeds", y),
-            "time_ids": kwargs.get("time_ids"),
-        }
+        added = kwargs.get("added_cond_kwargs")
+        if added is None:
+            if "text_embeds" in kwargs and "time_ids" in kwargs:
+                # diffusers-style kwargs routed through transformer_options
+                added = {"text_embeds": kwargs["text_embeds"],
+                         "time_ids": kwargs["time_ids"]}
+            elif y is not None:
+                # SGM convention: y IS the full add-embedding input
+                added = {"y": y}
         out = self.compiled(
             x, timesteps, context, added_cond_kwargs=added, return_dict=False
         )

@@ -92,8 +92,18 @@ class CompiledUNet:
                 t = jnp.broadcast_to(t, (b,))
         ehs = jnp.asarray(encoder_hidden_states.detach().to(torch.float32).cpu().numpy())
         acs = added_cond_kwargs or {}
-        te = jnp.asarray(acs["text_embeds"].detach().to(torch.float32).cpu().numpy())
-        ti = jnp.asarray(acs["time_ids"].detach().to(torch.float32).cpu().numpy())
+        if "y" in acs and "text_embeds" not in acs:
+            # SGM/ComfyUI convention: y = concat(pooled, fourier(time_ids)),
+            # already projected to the add_embedding input width
+            te = jnp.asarray(acs["y"].detach().to(torch.float32).cpu().numpy())
+            ti = jnp.zeros((b, 0), jnp.float32)
+        elif "text_embeds" in acs:
+            te = jnp.asarray(acs["text_embeds"].detach().to(torch.float32).cpu().numpy())
+            ti = jnp.asarray(acs["time_ids"].detach().to(torch.float32).cpu().numpy())
+        else:
+            # SD1.x/2.x: no added conditioning
+            te = jnp.zeros((b, 0), jnp.float32)
+            ti = jnp.zeros((b, 0), jnp.float32)
 
         out = self._fn(self.params, s, t, ehs, te, ti)
         out_t = torch.from_numpy(

@@ -207,6 +207,14 @@ def flash_attention(
         scale = 1.0 / np.sqrt(d)
 
     auto_q, auto_k = _pick_blocks(sq, sk, h, d, q.dtype.itemsize)
+    if block_q is None and block_k is None:
+        # per-shape tuned table (kernels/autotune.py) beats the heuristic when
+        # an entry exists for this exact shape on this platform
+        from stabletriton_tpu.kernels import autotune
+
+        tuned = autotune.lookup(autotune.attention_key(b, sq, sk, h, d, q.dtype))
+        if tuned is not None:
+            auto_q, auto_k = int(tuned["block_q"]), int(tuned["block_k"])
     block_q = min(block_q or auto_q, round_up(sq, 8))
     block_k = min(block_k or auto_k, round_up(sk, LANES))
     if sk <= LANES:

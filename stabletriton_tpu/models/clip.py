@@ -36,7 +36,24 @@ class CLIPTextConfig:
     hidden_act: str = "quick_gelu"
     projection_dim: int | None = None
     eos_token_id: int = 49407
+    bos_token_id: int = 49406
+    # padding token the matching tokenizer uses; None means "pad with EOS"
+    # (OpenAI CLIP / SDXL encoder-1 convention; SDXL encoder 2 pads with 0)
+    pad_token_id: int | None = None
     layer_norm_eps: float = 1e-5
+
+    def empty_prompt_ids(self, batch: int, total_len: int | None = None) -> np.ndarray:
+        """(batch, total_len) token ids of the empty prompt "" — BOS, EOS, then
+        padding — per 77-token window; the diffusers default for a missing
+        negative prompt (NOT all-zeros, which mis-pools the EOS argmax)."""
+        mp = self.max_position_embeddings
+        total = mp if total_len is None else total_len
+        assert total % mp == 0, (total, mp)
+        pad = self.eos_token_id if self.pad_token_id is None else self.pad_token_id
+        row = np.full((mp,), pad, np.int32)
+        row[0] = self.bos_token_id
+        row[1] = self.eos_token_id
+        return np.broadcast_to(np.tile(row, total // mp), (batch, total)).copy()
 
 
 def sdxl_text_encoder_config() -> CLIPTextConfig:
@@ -53,6 +70,7 @@ def sdxl_text_encoder_2_config() -> CLIPTextConfig:
         intermediate_size=5120,
         hidden_act="gelu",
         projection_dim=1280,
+        pad_token_id=0,  # SDXL's tokenizer_2 pads with "!" (id 0)
     )
 
 
@@ -77,7 +95,7 @@ def tiny_clip_config() -> CLIPTextConfig:
     return CLIPTextConfig(
         vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,
         intermediate_size=64, max_position_embeddings=16, projection_dim=24,
-        eos_token_id=99,
+        eos_token_id=99, bos_token_id=98,
     )
 
 

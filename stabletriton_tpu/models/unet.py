@@ -475,12 +475,19 @@ def unet_apply(
     )
 
     if cfg.has_addition_embedding:
-        tids = ops.time_embed(
-            time_ids.reshape(-1), dim=cfg.addition_time_embed_dim,
-            flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift,
-        ).astype(dtype)
-        tids = tids.reshape(sample.shape[0], -1)
-        add = jnp.concatenate([text_embeds.astype(dtype), tids], axis=-1)
+        if text_embeds.shape[-1] == cfg.projection_class_embeddings_input_dim \
+                and time_ids.shape[-1] == 0:
+            # SGM/ComfyUI convention: the caller already built the full
+            # add-embedding input y = concat(pooled, fourier(time_ids))
+            # (same [cos, sin] fourier layout as diffusers' add_time_proj)
+            add = text_embeds.astype(dtype)
+        else:
+            tids = ops.time_embed(
+                time_ids.reshape(-1), dim=cfg.addition_time_embed_dim,
+                flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift,
+            ).astype(dtype)
+            tids = tids.reshape(sample.shape[0], -1)
+            add = jnp.concatenate([text_embeds.astype(dtype), tids], axis=-1)
         add = ops.linear(add, p["add_embedding.linear_1.weight"], p["add_embedding.linear_1.bias"])
         add = ops.linear(
             jax.nn.silu(add), p["add_embedding.linear_2.weight"], p["add_embedding.linear_2.bias"]

@@ -56,7 +56,11 @@ def param_sharding(name: str, shape: tuple[int, ...], mesh: Mesh) -> NamedShardi
     if model == 1 or len(shape) != 2:
         return replicated(mesh)
 
-    col = (".to_q.", ".to_k.", ".to_v.", ".ff.net.0.proj.", ".proj_in.")
+    # .to_qkv./.to_kv. are the fused projections the shipped pipeline uses
+    # (compile.fuse_attention_projections) — without them TP silently
+    # replicates every attention projection (round-1 bug).
+    col = (".to_q.", ".to_k.", ".to_v.", ".to_qkv.", ".to_kv.",
+           ".ff.net.0.proj.", ".proj_in.")
     row = (".to_out.0.", ".ff.net.2.", ".proj_out.")
     if name.endswith(".weight"):
         if any(m in name for m in col) and shape[1] % model == 0:

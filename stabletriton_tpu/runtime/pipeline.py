@@ -57,6 +57,11 @@ class SDXLPipeline:
     scheduler_config: sched.SchedulerConfig = field(default_factory=sched.SchedulerConfig)
     # SD2.x conventionally conditions on the penultimate encoder layer
     clip_skip: int = 1
+    # multi-chip: a ("data", "model") mesh (runtime/mesh.make_mesh). Params are
+    # sharded at construction (tensor-parallel tables cover the *fused*
+    # .to_qkv./.to_kv. keys), token-id batches are sharded over "data" per
+    # call — scaling out is a config change, not a rewrite (SURVEY §2.7).
+    mesh: Any = None
     _cache: dict[Any, Any] = field(default_factory=dict, repr=False)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
@@ -64,6 +69,23 @@ class SDXLPipeline:
         if self.compile_config.backend != "reference":
             self.params = dict(self.params)
             self.params["unet"] = fuse_attention_projections(self.params["unet"])
+        if self.mesh is not None:
+            from stabletriton_tpu.runtime import mesh as mesh_mod
+
+            self.params = {
+                group: mesh_mod.shard_params(p, self.mesh)
+                for group, p in self.params.items()
+            }
+
+    def _shard_batch(self, *arrays):
+        """device_put call inputs with leading-axis ("data") sharding."""
+        if self.mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from stabletriton_tpu.runtime import mesh as mesh_mod
+
+        bs = mesh_mod.batch_sharding(self.mesh)
+        out = tuple(None if a is None else jax.device_put(a, bs) for a in arrays)
+        return out if len(out) > 1 else out[0]
 
     # ------------------------------------------------------------------
     def _build(self, *, batch, height, width, steps, guidance_scale, solver,
@@ -75,6 +97,16 @@ class SDXLPipeline:
         ucfg = self.unet_config
         f = self.vae_config.spatial_scale_factor
         lat_h, lat_w = height // f, width // f
+
+        if binding.get("attention") == "pallas":
+            from stabletriton_tpu.kernels import autotune
+
+            if autotune.autotune_enabled():
+                # measure-before-trace: fill the per-shape block table for every
+                # attention shape this signature dispatches (the TPU analog of
+                # the reference's launch-time Triton autotune, linear.py:38-63)
+                autotune.ensure_attention_tuned(ucfg, lat_h, lat_w, batch,
+                                                dtype=dtype)
 
         def unet_step(unet_params, sample, t, ctx, text_embeds, time_ids):
             return unet_apply(ucfg, unet_params, sample, t, ctx, text_embeds, time_ids)
@@ -156,10 +188,17 @@ class SDXLPipeline:
         (or final latents if return_latents)."""
         self._check_resolution(height, width)
         batch = int(ids1.shape[0])
+        # missing negative prompt == the empty prompt "" (BOS/EOS/pad), exactly
+        # as diffusers tokenizes it — NOT all-zero ids (which would mis-pool the
+        # EOS argmax and diverge from the reference)
         if neg_ids1 is None:
-            neg_ids1 = jnp.zeros_like(ids1)
+            neg_ids1 = jnp.asarray(
+                self.clip_config.empty_prompt_ids(batch, int(ids1.shape[1]))
+            )
         if neg_ids2 is None:
-            neg_ids2 = jnp.zeros_like(ids2)
+            neg_ids2 = jnp.asarray(
+                self.clip2_config.empty_prompt_ids(batch, int(ids2.shape[1]))
+            )
         sig = (batch, height, width, steps, float(guidance_scale), solver,
                return_latents)
         fn = self._cache.get(sig)
@@ -177,8 +216,10 @@ class SDXLPipeline:
                         return_latents=return_latents,
                     )
                     self._cache[sig] = fn
-        return fn(self.params, ids1, ids2, neg_ids1, neg_ids2,
-                  _seed_vector(seed, batch))
+        ids1, ids2, neg_ids1, neg_ids2, seeds = self._shard_batch(
+            ids1, ids2, neg_ids1, neg_ids2, _seed_vector(seed, batch)
+        )
+        return fn(self.params, ids1, ids2, neg_ids1, neg_ids2, seeds)
 
     def inpaint(
         self,
@@ -206,9 +247,13 @@ class SDXLPipeline:
             )
         batch, height, width, _ = image.shape
         if neg_ids1 is None:
-            neg_ids1 = jnp.zeros_like(ids1)
+            neg_ids1 = jnp.asarray(
+                self.clip_config.empty_prompt_ids(batch, int(ids1.shape[1]))
+            )
         if neg_ids2 is None:
-            neg_ids2 = jnp.zeros_like(ids2)
+            neg_ids2 = jnp.asarray(
+                self.clip2_config.empty_prompt_ids(batch, int(ids2.shape[1]))
+            )
         sig = ("inpaint", batch, height, width, steps, float(guidance_scale), solver)
         fn = self._cache.get(sig)
         if fn is None:
@@ -221,8 +266,10 @@ class SDXLPipeline:
                         guidance_scale=float(guidance_scale), solver=solver,
                     )
                     self._cache[sig] = fn
-        return fn(self.params, image, mask, ids1, ids2, neg_ids1, neg_ids2,
-                  _seed_vector(seed, batch))
+        image, mask, ids1, ids2, neg_ids1, neg_ids2, seeds = self._shard_batch(
+            image, mask, ids1, ids2, neg_ids1, neg_ids2, _seed_vector(seed, batch)
+        )
+        return fn(self.params, image, mask, ids1, ids2, neg_ids1, neg_ids2, seeds)
 
     def _build_inpaint(self, *, batch, height, width, steps,
                                 guidance_scale, solver):
@@ -331,9 +378,14 @@ class SDXLPipeline:
             init_noise_sigma=float(np.sqrt(full.sigmas[start] ** 2 + 1)),
         )
         ucfg = self.unet_config
-        five_ids = ucfg.projection_class_embeddings_input_dim == (
-            self.clip2_config.projection_dim or 0
-        ) + 5 * ucfg.addition_time_embed_dim
+        # refiner-style 5-slot micro-conditioning ([oh, ow, ct, cl, aesthetic]);
+        # guard the arithmetic: SD1.x/2.x have addition_time_embed_dim = None
+        five_ids = (
+            ucfg.addition_time_embed_dim is not None
+            and ucfg.projection_class_embeddings_input_dim
+            == (self.clip2_config.projection_dim or 0)
+            + 5 * ucfg.addition_time_embed_dim
+        )
 
         def unet_step(unet_params, sample, t, ctx, text_embeds, time_ids):
             return unet_apply(ucfg, unet_params, sample, t, ctx, text_embeds, time_ids)
@@ -344,34 +396,49 @@ class SDXLPipeline:
 
         def program(params, latents_in, ids1, ids2, neg_ids1, neg_ids2, seed):
             with ops.use_backends(binding):
-                ids2_all = jnp.concatenate([neg_ids2, ids2], axis=0)
-                h2, _, pooled = clip_mod.clip_apply(
-                    self.clip2_config, params["text_encoder_2"], ids2_all
-                )
-                if ids1 is not None and "text_encoder" in params:
-                    # dual-encoder conditioning (SDXL-base UNet as img2img)
-                    ids1_all = jnp.concatenate([neg_ids1, ids1], axis=0)
-                    h1, _, _ = clip_mod.clip_apply(
-                        self.clip_config, params["text_encoder"], ids1_all
+                f = self.vae_config.spatial_scale_factor
+                height, width = lat_h * f, lat_w * f
+                if ucfg.addition_time_embed_dim is None:
+                    # SD1.x/2.x img2img: single encoder, no micro-conditioning
+                    ids = ids2 if ids1 is None else ids1
+                    negs = neg_ids2 if ids1 is None else neg_ids1
+                    ids_all = jnp.concatenate([negs, ids], axis=0)
+                    pen, final, _ = clip_mod.clip_apply_chunked(
+                        self.clip_config, params["text_encoder"], ids_all
                     )
-                    ctx = jnp.concatenate([h1, h2], axis=-1)
+                    ctx = (pen if self.clip_skip >= 2 else final).astype(dtype)
+                    pooled = jnp.zeros((2 * batch, 0), dtype)
+                    time_ids = jnp.zeros((2 * batch, 0), jnp.float32)
                 else:
-                    # refiner conditions on the bigG encoder alone
-                    ctx = h2
-                ctx = ctx.astype(dtype)
-                pooled = pooled.astype(dtype)
+                    ids2_all = jnp.concatenate([neg_ids2, ids2], axis=0)
+                    h2, _, pooled = clip_mod.clip_apply(
+                        self.clip2_config, params["text_encoder_2"], ids2_all
+                    )
+                    if ids1 is not None and "text_encoder" in params:
+                        # dual-encoder conditioning (SDXL-base UNet as img2img)
+                        ids1_all = jnp.concatenate([neg_ids1, ids1], axis=0)
+                        h1, _, _ = clip_mod.clip_apply(
+                            self.clip_config, params["text_encoder"], ids1_all
+                        )
+                        ctx = jnp.concatenate([h1, h2], axis=-1)
+                    else:
+                        # refiner conditions on the bigG encoder alone
+                        ctx = h2
+                    ctx = ctx.astype(dtype)
+                    pooled = pooled.astype(dtype)
 
-                height, width = lat_h * 8, lat_w * 8
-                if five_ids:
-                    # refiner micro-conditioning: [oh, ow, ct, cl, aesthetic]
-                    tid = jnp.stack([
-                        jnp.asarray([height, width, 0, 0, s], jnp.float32)
-                        for s in aesthetic_scores
-                    ])  # (2, 5): uncond, cond rows
-                    time_ids = jnp.repeat(tid, batch, axis=0)
-                else:
-                    tid = jnp.asarray([height, width, 0, 0, height, width], jnp.float32)
-                    time_ids = jnp.broadcast_to(tid, (2 * batch, 6))
+                    if five_ids:
+                        # refiner micro-conditioning: [oh, ow, ct, cl, aesthetic]
+                        tid = jnp.stack([
+                            jnp.asarray([height, width, 0, 0, s], jnp.float32)
+                            for s in aesthetic_scores
+                        ])  # (2, 5): uncond, cond rows
+                        time_ids = jnp.repeat(tid, batch, axis=0)
+                    else:
+                        tid = jnp.asarray(
+                            [height, width, 0, 0, height, width], jnp.float32
+                        )
+                        time_ids = jnp.broadcast_to(tid, (2 * batch, 6))
 
                 keys = jax.vmap(jax.random.PRNGKey)(seed)
                 noise = jax.vmap(
@@ -411,9 +478,13 @@ class SDXLPipeline:
         batch, lat_h, lat_w, _ = latents.shape
         start = min(max(steps - int(round(steps * strength)), 0), steps - 1)
         if neg_ids1 is None and ids1 is not None:
-            neg_ids1 = jnp.zeros_like(ids1)
+            neg_ids1 = jnp.asarray(
+                self.clip_config.empty_prompt_ids(batch, int(ids1.shape[1]))
+            )
         if neg_ids2 is None:
-            neg_ids2 = jnp.zeros_like(ids2)
+            neg_ids2 = jnp.asarray(
+                self.clip2_config.empty_prompt_ids(batch, int(ids2.shape[1]))
+            )
         sig = ("i2i", batch, lat_h, lat_w, steps, start, float(guidance_scale),
                solver, aesthetic_scores, decode)
         fn = self._cache.get(sig)
@@ -429,8 +500,10 @@ class SDXLPipeline:
                         decode=decode,
                     )
                     self._cache[sig] = fn
-        return fn(self.params, latents, ids1, ids2, neg_ids1, neg_ids2,
-                  _seed_vector(seed, batch))
+        latents, ids1, ids2, neg_ids1, neg_ids2, seeds = self._shard_batch(
+            latents, ids1, ids2, neg_ids1, neg_ids2, _seed_vector(seed, batch)
+        )
+        return fn(self.params, latents, ids1, ids2, neg_ids1, neg_ids2, seeds)
 
 
 @dataclass
@@ -471,7 +544,8 @@ class TwoStageSDXL:
         )
 
 
-def make_tiny_pipeline(compile_config: CompileConfig | None = None) -> SDXLPipeline:
+def make_tiny_pipeline(compile_config: CompileConfig | None = None,
+                       mesh=None) -> SDXLPipeline:
     """A structurally complete but tiny pipeline (CPU tests)."""
     from stabletriton_tpu.models.unet import init_unet_params, tiny_unet_config
 
@@ -480,12 +554,12 @@ def make_tiny_pipeline(compile_config: CompileConfig | None = None) -> SDXLPipel
     c1 = clip_mod.CLIPTextConfig(
         vocab_size=100, hidden_size=ucfg.cross_attention_dim // 2,
         num_layers=2, num_heads=4, intermediate_size=32,
-        max_position_embeddings=16, eos_token_id=99,
+        max_position_embeddings=16, eos_token_id=99, bos_token_id=98,
     )
     c2 = clip_mod.CLIPTextConfig(
         vocab_size=100, hidden_size=ucfg.cross_attention_dim - c1.hidden_size,
         num_layers=2, num_heads=4, intermediate_size=32,
-        max_position_embeddings=16, projection_dim=16, eos_token_id=99,
+        max_position_embeddings=16, projection_dim=16, eos_token_id=99, bos_token_id=98,
     )
     vcfg = vae_mod.tiny_vae_config()
     params = {
@@ -496,7 +570,7 @@ def make_tiny_pipeline(compile_config: CompileConfig | None = None) -> SDXLPipel
     }
     return SDXLPipeline(
         unet_config=ucfg, clip_config=c1, clip2_config=c2, vae_config=vcfg,
-        params=params,
+        params=params, mesh=mesh,
         compile_config=compile_config or CompileConfig(backend="reference", dtype="float32"),
     )
 
@@ -510,7 +584,7 @@ def make_tiny_sd15_pipeline(
 
     c1 = clip_mod.CLIPTextConfig(
         vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,
-        intermediate_size=32, max_position_embeddings=16, eos_token_id=99,
+        intermediate_size=32, max_position_embeddings=16, eos_token_id=99, bos_token_id=98,
     )
     ucfg = UNetConfig(
         block_out_channels=(32, 64),
@@ -547,7 +621,7 @@ def make_tiny_refiner_pipeline(
     c2 = clip_mod.CLIPTextConfig(
         vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,
         intermediate_size=32, max_position_embeddings=16, projection_dim=16,
-        eos_token_id=99,
+        eos_token_id=99, bos_token_id=98,
     )
     ucfg = UNetConfig(
         block_out_channels=(32, 64, 64),

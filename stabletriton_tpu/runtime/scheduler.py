@@ -80,6 +80,13 @@ def make_schedule(cfg: SchedulerConfig, num_steps: int) -> Schedule:
         smin, smax = sigmas[-1], sigmas[0]
         ramp = np.linspace(0, 1, num_steps)
         sigmas = (smax ** (1 / rho) + ramp * (smin ** (1 / rho) - smax ** (1 / rho))) ** rho
+        # The UNet must be conditioned on the timestep that *corresponds* to
+        # each Karras sigma, not the original spacing's timesteps (diffusers
+        # recomputes via _sigma_to_t: interpolate log(sigma) on the training
+        # log-sigma table).
+        timesteps = np.interp(
+            np.log(sigmas), np.log(train_sigmas), np.arange(n, dtype=np.float64)
+        )
     sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
     init_noise_sigma = float(np.sqrt(sigmas.max() ** 2 + 1))
     return Schedule(
@@ -106,14 +113,18 @@ def euler_step(sample, eps, sigma, sigma_next):
 def dpmpp_2m_step(sample, eps, sigma, sigma_next, prev_x0, have_prev, sigma_prev):
     """One DPM-Solver++(2M) step (epsilon prediction, deterministic).
 
-    VP parameterization: for noise level s, alpha(s) = 1/sqrt(1+s^2),
-    sigma_vp(s) = s/sqrt(1+s^2), lambda(s) = -log(s), h = lambda' - lambda:
+    The sample lives in Karras sigma-space (x = x0 + sigma*eps — exactly what
+    the pipeline produces: init noise ~ sigma_max, pred_x0 = x - sigma*eps),
+    so this is the k-diffusion ``sample_dpmpp_2m`` update with
+    lambda(s) = -log(s), h = lambda' - lambda:
 
-        x' = (sigma_vp'/sigma_vp) x - alpha' * (exp(-h) - 1) * D
+        x' = (s_next / s_cur) * x - expm1(-h) * D
 
     where D is the data prediction — pred_x0 on the first step, and the
     standard 2M extrapolation of the current and previous pred_x0 after.
-    At sigma_next == 0 this collapses exactly to x' = pred_x0.
+    This update is *exact* for a constant data prediction (D independent of
+    sigma): x' = x0 + s_next * c whenever x = x0 + s_cur * c.
+    At sigma_next == 0 it collapses exactly to x' = pred_x0.
     Returns (new_sample, pred_x0) so the scan can carry the multistep state.
     """
     eps = eps.astype(jnp.float32)
@@ -135,8 +146,6 @@ def dpmpp_2m_step(sample, eps, sigma, sigma_next, prev_x0, have_prev, sigma_prev
     ) * prev_x0
     d = jnp.where(have_prev, d2, x0)
 
-    sig_ratio = (s_next / s_cur) * jnp.sqrt((1.0 + s_cur**2) / (1.0 + s_next**2))
-    alpha_next = 1.0 / jnp.sqrt(1.0 + s_next**2)
-    new_sample = sig_ratio * x - alpha_next * jnp.expm1(-h) * d
+    new_sample = (s_next / s_cur) * x - jnp.expm1(-h) * d
     new_sample = jnp.where(sigma_next == 0.0, x0, new_sample)
     return new_sample.astype(sample.dtype), x0

@@ -1,0 +1,78 @@
+"""Autotune-table tests (CPU): key derivation, persistence, kernel lookup."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from stabletriton_tpu.kernels import autotune
+from stabletriton_tpu.models.unet import sdxl_base_unet_config, tiny_unet_config
+
+
+def test_attention_key_stable():
+    k = autotune.attention_key(2, 4096, 4096, 10, 64, jnp.bfloat16)
+    assert k == "attention:b2:sq4096:sk4096:h10:d64:bfloat16"
+
+
+def test_record_and_lookup_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("ST_TPU_AUTOTUNE_CACHE", str(tmp_path / "cache.json"))
+    autotune._TABLES.clear()
+    key = autotune.attention_key(2, 64, 64, 2, 16, jnp.float32)
+    assert autotune.lookup(key) is None
+    autotune.record(key, {"block_q": 64, "block_k": 128, "t_us": 1.0})
+    assert autotune.lookup(key)["block_q"] == 64
+    # persisted: a fresh table load (new process analog) still sees it
+    autotune._TABLES.clear()
+    assert autotune.lookup(key)["block_k"] == 128
+    data = json.loads((tmp_path / "cache.json").read_text())
+    assert key in data
+
+
+def test_flash_attention_consults_table(tmp_path, monkeypatch):
+    """A tuned entry must reach the kernel: plant a config and check the
+    output still matches the reference math (any valid block split must)."""
+    from stabletriton_tpu.kernels.flash_attention import flash_attention
+    from stabletriton_tpu.ops.reference import attention as ref_attention
+
+    monkeypatch.setenv("ST_TPU_AUTOTUNE_CACHE", str(tmp_path / "cache.json"))
+    autotune._TABLES.clear()
+    b, s, h, d = 1, 256, 2, 32
+    key = autotune.attention_key(b, s, s, h, d, jnp.float32)
+    autotune.record(key, {"block_q": 64, "block_k": 128, "t_us": 1.0})
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, s, h * d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h * d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h * d), dtype=np.float32))
+    got = flash_attention(q, k, v, num_heads=h, interpret=True)
+    want = ref_attention(q, k, v, num_heads=h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    autotune._TABLES.clear()
+
+
+def test_attention_shapes_for_sdxl():
+    cfg = sdxl_base_unet_config()
+    shapes = autotune.attention_shapes_for_unet(cfg, 128, 128, 1)
+    # SDXL 1024²: self+cross at 64² (10 heads) and 32² (20 heads)
+    assert (2, 4096, 4096, 10, 64) in shapes
+    assert (2, 4096, 77, 10, 64) in shapes
+    assert (2, 1024, 1024, 20, 64) in shapes
+    assert (2, 1024, 77, 20, 64) in shapes
+    assert len(shapes) == 4  # up path + mid dedupe onto the same four
+
+
+def test_attention_candidates_sane():
+    cands = autotune.attention_candidates(4096, 4096, 10, 64, 2)
+    assert all(bq >= 128 and bk >= 128 for bq, bk in cands)
+    assert len(cands) > 3
+    # tiny-KV shapes lock block_k to the padded KV length
+    cands = autotune.attention_candidates(4096, 77, 10, 64, 2)
+    assert all(bk == 128 for _, bk in cands)
+
+
+def test_tiny_unet_shapes_enumerate():
+    cfg = tiny_unet_config()
+    shapes = autotune.attention_shapes_for_unet(cfg, 8, 8, 2, ctx_len=7)
+    assert shapes  # enumerates without error on the tiny config
+    for b, sq, sk, h, d in shapes:
+        assert b == 4 and sq >= 1 and h >= 1 and d >= 1

@@ -121,3 +121,55 @@ def test_comfyui_node_registry_importable():
     for cls in nodes.values():
         spec = cls.INPUT_TYPES()
         assert "required" in spec
+
+
+def test_comfyui_shim_sgm_y_convention_matches_native():
+    """Feed SGM-convention (x, t, context, y) through _ComfyUNetShim: y is the
+    raw 2816-style adm vector concat(pooled, fourier(time_ids)) that ComfyUI's
+    SDXL.encode_adm builds. Output must equal the native step that computes the
+    fourier embedding itself from raw time_ids."""
+    import jax.numpy as jnp
+
+    from stabletriton_tpu import ops
+    from stabletriton_tpu.frontends import diffusers as fe
+    from stabletriton_tpu.frontends.comfyui import _ComfyUNetShim
+    from stabletriton_tpu.io.torch_ingest import state_dict_to_params
+
+    cfg = tiny_unet_config()
+    fake = FakeTorchUNet(cfg)
+    compiled = fe.compile(fake, CompileConfig(backend="reference", dtype="float32"))
+    shim = _ComfyUNetShim(compiled)
+
+    rng = np.random.default_rng(3)
+    b, hw = 2, 16
+    x = torch.from_numpy(rng.standard_normal((b, 4, hw, hw)).astype(np.float32))
+    ctx = torch.from_numpy(
+        rng.standard_normal((b, 7, cfg.cross_attention_dim)).astype(np.float32)
+    )
+    pooled = rng.standard_normal((b, 16)).astype(np.float32)
+    time_ids = np.tile([32.0, 32.0, 0.0, 0.0, 32.0, 32.0], (b, 1)).astype(np.float32)
+
+    # build y exactly as ComfyUI does: fourier-embed the flattened ids with the
+    # [cos, sin] layout and concat after the pooled text embedding
+    four = np.asarray(ops.time_embed(
+        jnp.asarray(time_ids.reshape(-1)), dim=cfg.addition_time_embed_dim,
+        flip_sin_to_cos=True, downscale_freq_shift=0.0,
+    )).reshape(b, -1)
+    y = torch.from_numpy(np.concatenate([pooled, four], axis=-1))
+    assert y.shape[-1] == cfg.projection_class_embeddings_input_dim
+
+    got = shim(x, timesteps=torch.tensor([500.0]), context=ctx, y=y)
+
+    params = {k: jnp.asarray(v) for k, v in
+              state_dict_to_params(fake, dtype=np.float32).items()}
+    want = unet_apply(
+        cfg, params,
+        jnp.asarray(np.asarray(x).transpose(0, 2, 3, 1)),
+        jnp.full((b,), 500.0),
+        jnp.asarray(np.asarray(ctx)),
+        jnp.asarray(pooled),
+        jnp.asarray(time_ids),
+    )
+    np.testing.assert_allclose(
+        got.numpy(), np.asarray(want).transpose(0, 3, 1, 2), atol=1e-4
+    )

@@ -38,6 +38,45 @@ def test_param_sharding_rules(mesh8):
     assert ps.spec == jax.sharding.PartitionSpec()
 
 
+def test_param_sharding_covers_fused_projections(mesh8):
+    """The shipped pipeline folds projections into .to_qkv./.to_kv.; those keys
+    MUST be column-parallel or TP is silently dead (round-1 bug)."""
+    ps = mesh_mod.param_sharding(
+        "down_blocks.1.attentions.0.transformer_blocks.0.attn1.to_qkv.weight",
+        (64, 192), mesh8,
+    )
+    assert ps.spec == jax.sharding.PartitionSpec(None, "model")
+    ps = mesh_mod.param_sharding(
+        "down_blocks.1.attentions.0.transformer_blocks.0.attn2.to_kv.weight",
+        (32, 128), mesh8,
+    )
+    assert ps.spec == jax.sharding.PartitionSpec(None, "model")
+
+
+def test_sharded_fused_pipeline_matches_unsharded(mesh8):
+    """SDXLPipeline with a mesh (fused qkv/kv params tensor-parallel, token
+    batch over "data") == the same pipeline unsharded."""
+    import numpy as np
+    from stabletriton_tpu.compile import CompileConfig
+    from stabletriton_tpu.runtime.pipeline import make_tiny_pipeline
+
+    ccfg = CompileConfig(backend="pallas", dtype="float32")
+    ref = make_tiny_pipeline(ccfg)
+    shp = make_tiny_pipeline(ccfg, mesh=mesh8)
+    fused = [k for k in shp.params["unet"] if ".to_qkv." in k or ".to_kv." in k]
+    assert fused
+    for k in fused:
+        assert tuple(shp.params["unet"][k].sharding.spec) == (None, "model"), k
+
+    mp = ref.clip_config.max_position_embeddings
+    ids = np.full((4, mp), 5, np.int32)  # batch == data axis size
+    ids[:, -1] = 99
+    ids = jnp.asarray(ids)
+    a = ref.txt2img(ids, ids, height=32, width=32, steps=2, seed=0)
+    b = shp.txt2img(ids, ids, height=32, width=32, steps=2, seed=0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_sharded_unet_matches_unsharded(mesh8):
     """dp x tp sharded forward == single-device forward (XLA collectives are
     numerically transparent here)."""

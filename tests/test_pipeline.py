@@ -138,3 +138,39 @@ def test_long_prompt_chunking(pipe):
     img = pipe.txt2img(jnp.asarray(ids), jnp.asarray(ids),
                        height=32, width=32, steps=2, seed=0)
     assert img.shape == (1, 32, 32, 3)
+
+
+def test_empty_prompt_ids_structure():
+    """Default negative prompt == tokenization of "" (BOS, EOS, pad), per
+    77-token window, honoring each encoder's pad convention."""
+    from stabletriton_tpu.models import clip as clip_mod
+
+    c1 = clip_mod.sdxl_text_encoder_config()
+    ids = c1.empty_prompt_ids(2, 154)
+    assert ids.shape == (2, 154)
+    assert ids[0, 0] == 49406 and ids[0, 77] == 49406   # BOS each window
+    assert ids[0, 1] == 49407 and ids[0, 78] == 49407   # EOS each window
+    assert ids[0, 2] == 49407                           # enc-1 pads with EOS
+    c2 = clip_mod.sdxl_text_encoder_2_config()
+    ids2 = c2.empty_prompt_ids(1)
+    assert ids2[0, 0] == 49406 and ids2[0, 1] == 49407
+    assert (ids2[0, 2:] == 0).all()                     # enc-2 pads with 0
+
+
+def test_default_negative_is_empty_prompt(pipe):
+    """txt2img with neg=None must equal explicit empty-prompt negatives, and
+    differ from the round-1 all-zeros default (EOS argmax mis-pooling)."""
+    mp = pipe.clip_config.max_position_embeddings
+    ids = np.full((1, mp), 5, np.int32)
+    ids[:, -1] = 99
+    ids = jnp.asarray(ids)
+    empty1 = jnp.asarray(pipe.clip_config.empty_prompt_ids(1, mp))
+    empty2 = jnp.asarray(pipe.clip2_config.empty_prompt_ids(1, mp))
+    a = pipe.txt2img(ids, ids, height=32, width=32, steps=2, seed=0)
+    b = pipe.txt2img(ids, ids, neg_ids1=empty1, neg_ids2=empty2,
+                     height=32, width=32, steps=2, seed=0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    z = pipe.txt2img(ids, ids, neg_ids1=jnp.zeros_like(ids),
+                     neg_ids2=jnp.zeros_like(ids),
+                     height=32, width=32, steps=2, seed=0)
+    assert not np.allclose(np.asarray(a), np.asarray(z))

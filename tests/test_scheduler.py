@@ -40,24 +40,66 @@ def test_euler_step_exact_denoise_at_zero_sigma():
     np.testing.assert_allclose(np.asarray(out), 2.0)
 
 
-def test_dpmpp_first_step_matches_ddim():
-    """With no history, DPM-Solver++(2M) reduces to the first-order (DDIM)
-    update: x' = sig_ratio * x - alpha_next*(e^-h - 1)*x0."""
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((1, 4, 4, 1), dtype=np.float32))
-    eps = jnp.asarray(rng.standard_normal((1, 4, 4, 1), dtype=np.float32))
+def test_dpmpp_first_step_exact_for_exact_eps():
+    """With the *exact* noise estimate eps = (x - x0)/sigma, the DPM++ update
+    must land exactly on x0 + sigma_next * eps (the true solution of the
+    sigma-space probability-flow ODE for a constant data prediction).
+    This is solver semantics, not a formula echo: the old VP-space update
+    produced 10.94 here instead of 6.0."""
+    x0 = jnp.ones((1, 2, 2, 1))
+    eps = jnp.ones_like(x0)
     sigma, sigma_next = 10.0, 5.0
-    out, x0 = sched.dpmpp_2m_step(
+    x = x0 + sigma * eps  # 11.0
+    out, x0_pred = sched.dpmpp_2m_step(
         x, eps, jnp.float32(sigma), jnp.float32(sigma_next),
         jnp.zeros_like(x), jnp.bool_(False), jnp.float32(sigma),
     )
-    x0_ref = np.asarray(x) - sigma * np.asarray(eps)
-    np.testing.assert_allclose(np.asarray(x0), x0_ref, atol=1e-5)
-    h = -np.log(sigma_next) + np.log(sigma)
-    sig_ratio = (sigma_next / sigma) * np.sqrt((1 + sigma**2) / (1 + sigma_next**2))
-    alpha_next = 1 / np.sqrt(1 + sigma_next**2)
-    expected = sig_ratio * np.asarray(x) - alpha_next * np.expm1(-h) * x0_ref
-    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x0_pred), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), 6.0, atol=1e-4)
+
+
+def test_dpmpp_trajectory_exact_on_analytic_ode():
+    """Full multistep trajectory with exact eps: x(sigma) = x0 + sigma*c is the
+    closed-form solution; 2M (like Euler) must track it to float precision at
+    every step, including the multistep-extrapolation steps. Ensures noise
+    actually anneals (the round-1 VP-space bug made sigma *grow*)."""
+    schedule = sched.make_schedule(sched.SchedulerConfig(), 12)
+    x0 = np.float32(2.5)
+    c = np.float32(-1.25)
+    x = jnp.full((1, 2, 2, 1), x0 + schedule.sigmas[0] * c)
+    prev_x0 = jnp.zeros_like(x)
+    have_prev = jnp.bool_(False)
+    for i in range(12):
+        s, s_next = schedule.sigmas[i], schedule.sigmas[i + 1]
+        s_prev = schedule.sigmas[i - 1] if i > 0 else schedule.sigmas[0]
+        eps = (x - x0) / s  # exact noise estimate
+        x, px0 = sched.dpmpp_2m_step(
+            x, eps, jnp.float32(s), jnp.float32(s_next),
+            prev_x0, have_prev, jnp.float32(s_prev),
+        )
+        prev_x0, have_prev = px0, jnp.bool_(True)
+        np.testing.assert_allclose(
+            np.asarray(x), x0 + s_next * c, rtol=2e-5, atol=2e-5
+        )
+    np.testing.assert_allclose(np.asarray(x), x0, rtol=2e-5)
+
+
+def test_dpmpp_loop_anneals_noise():
+    """End-to-end scan with a fake eps-predictor that returns the scaled input
+    (a contraction): the final sample must be *small* relative to the init
+    noise — i.e. the solver actually denoises. Catches sign/space errors that
+    elementwise formula checks miss."""
+    schedule = sched.make_schedule(sched.SchedulerConfig(), 20)
+
+    def fake_unet(params, sample2, t, ctx, te, ti):
+        return sample2  # eps := scaled input => x0_pred shrinks every step
+
+    loop = make_denoise_loop(fake_unet, schedule, guidance_scale=1.0,
+                             solver="dpmpp_2m")
+    lat0 = jnp.full((1, 4, 4, 4), float(schedule.init_noise_sigma))
+    out = loop({}, lat0, jnp.zeros((2, 3, 8)), jnp.zeros((2, 8)),
+               jnp.zeros((2, 6)))
+    assert float(jnp.abs(out).max()) < 0.25 * schedule.init_noise_sigma
 
 
 def test_dpmpp_final_step_returns_x0():
@@ -128,3 +170,19 @@ def test_karras_sigmas():
     ramp = np.linspace(0, 1, 10)
     expected = (smax ** (1 / 7) + ramp * (smin ** (1 / 7) - smax ** (1 / 7))) ** 7
     np.testing.assert_allclose(s.sigmas[:-1], expected, rtol=1e-5)
+
+
+def test_karras_timesteps_match_sigmas():
+    """Karras mode must recompute timesteps so t_i corresponds to sigma_i on
+    the training sigma table (diffusers' _sigma_to_t): conditioning the UNet on
+    the original leading-spacing timesteps silently degrades quality."""
+    cfg = sched.SchedulerConfig(use_karras_sigmas=True)
+    s = sched.make_schedule(cfg, 10)
+    train = sched._training_sigmas(sched.SchedulerConfig())
+    # invert: sigma at (fractional) timestep t_i == sigma_i
+    back = np.exp(np.interp(s.timesteps, np.arange(1000), np.log(train)))
+    np.testing.assert_allclose(back, s.sigmas[:-1], rtol=1e-4)
+    assert np.all(np.diff(s.timesteps) < 0)
+    # and non-Karras timesteps are NOT what Karras mode should condition on
+    plain = sched.make_schedule(sched.SchedulerConfig(), 10)
+    assert not np.allclose(plain.timesteps, s.timesteps)

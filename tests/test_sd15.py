@@ -64,6 +64,24 @@ def test_sd21_clip_skip_changes_output():
     assert not np.allclose(np.asarray(img1), np.asarray(img2))
 
 
+def test_sd15_pipeline_img2img():
+    """SD1.x img2img must work (round-1 bug: `5 * None` TypeError computing
+    five_ids for configs with addition_time_embed_dim=None)."""
+    pipe = make_tiny_sd15_pipeline()
+    ids = np.full((1, 16), 5, np.int32)
+    ids[:, -1] = 99
+    rng = np.random.default_rng(1)
+    latents = jnp.asarray(rng.standard_normal((1, 4, 4, 4), dtype=np.float32))
+    img = pipe.img2img(latents, jnp.asarray(ids), jnp.asarray(ids),
+                       steps=4, strength=0.5, seed=7)
+    assert img.shape == (1, 8, 8, 3)  # tiny VAE: spatial_scale_factor == 2
+    assert np.isfinite(np.asarray(img)).all()
+    # single-ids convention (ids1=None) also works
+    lat = pipe.img2img(latents, None, jnp.asarray(ids), steps=4, strength=0.5,
+                       decode=False)
+    assert lat.shape == latents.shape
+
+
 def test_sd15_config_from_diffusers_dict():
     from stabletriton_tpu.io.torch_ingest import unet_config_from_diffusers
 
