@@ -46,7 +46,11 @@ class CompiledUNet:
         self._jnp = jnp
         self.config = torch_unet.config  # diffusers pipeline reads this
         self.unet_config = unet_config_from_diffusers(torch_unet.config)
-        self.compile_config = compile_config or CompileConfig()
+        # per-step calls make a fresh device array from the torch sample every
+        # time, so donating it is always safe here — the static-buffer analog
+        # of the reference's CUDA-graph pools (SURVEY §2.4), relevant exactly
+        # on this step-at-a-time path (the native pipeline jits the whole loop)
+        self.compile_config = compile_config or CompileConfig(donate_sample=True)
         np_params = state_dict_to_params(torch_unet, dtype=np.float32)
         dtype = self.compile_config.jnp_dtype
         self.params = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
