@@ -15,18 +15,27 @@ the model's natural channel-packed (B, S, H*D) operands:
     head_dim), heads loop in-kernel, outputs emit per-head (Mosaic cannot
     unsqueeze 2D stores into 4D slots) and lane-concat back. Zero transposes;
     2.4-7.7x over the XLA attention at SDXL cross shapes;
-  * short self-attention (KV fits one block): BH-major single-KV kernel,
-    plain in-register softmax, no scratch;
-  * long self-attention / VAE: BH-major online-softmax kernel, grid
-    (B*H, q_blocks, kv_blocks) with kv innermost ("arbitrary") — Pallas
-    double-buffers K/V DMAs against the MXU and the (Sq, Sk) score matrix
-    never touches HBM (XLA's naive attention writes ~26 GB/step of scores);
-    running max/denominator in lane-broadcast (block_q, 128) f32 scratch;
-    4.1x over XLA at the 4096-token self-attention shape.
+  * self-attention with d | 128 and the head count divisible by the pack
+    factor (every SD/SDXL shape: d=64, h in {5,10,20}): *head-packed*
+    channel-packed kernels — blocks are (block_q, 128) lane tiles covering
+    128/d heads taken straight from the (B, S, H*D) layout, so the
+    (B,S,HD)->(BH,S,D) transposes of a head-major design never happen (at
+    SDXL shapes those transposes cost ~3 GB of HBM round-trips per step).
+    Single-KV variant (KV fits one block) and online-softmax variant (grid
+    kv-innermost "arbitrary"; the (Sq, Sk) score matrix never touches HBM;
+    running max/denominator per packed head in lane-chunked (block_q, 128)
+    f32 scratch);
+  * fallback BH-major kernels (single-KV + online softmax) for layouts the
+    packed path can't take (d not a divisor of 128, odd head counts).
+
+Softmax runs in base 2: the q-prescale folds scale*log2(e) into q once, and
+the kernels use exp2 (softmax is base-invariant when logits are pre-scaled
+by log2 e; exp2 is the cheaper VPU transcendental).
 
 fp32 accumulation for both dots everywhere; zero-padded keys masked to -1e30;
-block sizes tuned on v5e (scripts/tune_attention.py) and auto-shrunk against
-an explicit VMEM byte model (~16MB scoped limit).
+block sizes come from the per-shape tuned table (kernels/autotune.py) when an
+entry exists, else a static v5e heuristic, auto-shrunk against an explicit
+VMEM byte model (~16MB scoped limit).
 """
 
 from __future__ import annotations
@@ -44,6 +53,7 @@ from stabletriton_tpu.ops.registry import register
 
 LANES = 128
 VMEM_BUDGET = 10 << 20  # leave headroom under the ~16MB scoped limit
+LOG2E = 1.4426950408889634  # softmax in base 2: fold log2(e) into q-prescale
 
 
 def _flash_kernel(
@@ -74,8 +84,8 @@ def _flash_kernel(
     m_prev = m_ref[...]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next[:, :1])
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next[:, :1])
 
     l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
         jnp.sum(p, axis=1, keepdims=True), m_prev.shape
@@ -107,7 +117,7 @@ def _single_kv_kernel(q_ref, k_ref, v_ref, *o_refs, kv_len):
         if kv_len != block_k:
             s = jnp.where(col < kv_len, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, :, i, :], (((1,), (0,)), ((), ())),
@@ -127,7 +137,7 @@ def _single_kv_kernel_bh(q_ref, k_ref, v_ref, o_ref, *, kv_len):
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -136,32 +146,140 @@ def _single_kv_kernel_bh(q_ref, k_ref, v_ref, o_ref, *, kv_len):
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
+def _packed_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, head_dim):
+    """Head-packed single-KV kernel on the channel-packed (B, S, H*D) layout:
+    each 128-lane block carries 128//head_dim heads; every sub-head runs its
+    own in-register softmax chain on a static lane slice. No transposes ever
+    touch HBM."""
+    q = q_ref[0]            # (block_q, LANES)
+    k = k_ref[0]            # (block_k, LANES)
+    v = v_ref[0]
+    block_k = k_ref.shape[1]
+    pack = q.shape[1] // head_dim
+    if kv_len != block_k:
+        col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], block_k), 1)
+    outs = []
+    for i in range(pack):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if kv_len != block_k:
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o / l)
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _packed_flash_kernel(
+    q_ref, k_ref, v_ref,    # (1, block_q, LANES), (1, block_k, LANES) x2
+    o_ref,                  # (1, block_q, LANES)
+    m_ref, l_ref, acc_ref,  # scratch: (block_q, LANES) f32 x3, lane-chunked
+    *,
+    kv_len: int,
+    block_k: int,
+    head_dim: int,
+):
+    """Head-packed online-softmax kernel (channel-packed layout, kv-innermost
+    grid). Scratch is lane-chunked: lanes [i*d:(i+1)*d] of m/l/acc belong to
+    sub-head i (m/l hold the per-row running max/denominator broadcast over
+    the sub-head's lanes), so the finalize divide is a plain elementwise op."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    pack = q.shape[1] // head_dim
+    if kv_len % block_k != 0:
+        col = (jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], block_k), 1)
+               + kv_idx * block_k)
+
+    m_prev = m_ref[...]
+    alphas, m_news, p_sums, os = [], [], [], []
+    for i in range(pack):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if kv_len % block_k != 0:
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m_p = m_prev[:, sl]                               # (bq, d) broadcast
+        m_c = jnp.max(s, axis=1, keepdims=True)           # (bq, 1)
+        m_n = jnp.maximum(m_p, jnp.broadcast_to(m_c, m_p.shape))
+        p = jnp.exp2(s - m_n[:, :1])
+        alphas.append(jnp.exp2(m_p - m_n))
+        m_news.append(m_n)
+        p_sums.append(jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), m_p.shape
+        ))
+        os.append(jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+
+    alpha = jnp.concatenate(alphas, axis=1)               # (bq, LANES)
+    m_ref[...] = jnp.concatenate(m_news, axis=1)
+    l_ref[...] = l_ref[...] * alpha + jnp.concatenate(p_sums, axis=1)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.concatenate(os, axis=1)
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[...] / l_ref[...].clip(1e-30)).astype(o_ref.dtype)
+
+
+def _attn_layout(sk: int, h: int, d: int) -> tuple[str, int]:
+    """Kernel routing: ('allheads', h) for tiny-KV cross-attention;
+    ('packed', 128//d) when whole heads tile the 128-lane dim and the head
+    count divides evenly (every SD/SDXL self-attention shape);
+    ('bh', 1) fallback."""
+    if sk <= LANES:
+        return "allheads", h
+    pack = LANES // d if (d <= LANES and LANES % d == 0) else 1
+    if pack > 1 and h % pack == 0:
+        return "packed", pack
+    return "bh", 1
+
+
 def _pick_blocks(sq: int, sk: int, h: int, d: int, itemsize: int):
-    """Block choice tuned on v5e (scripts/tune_attention.py), then shrunk to
-    the VMEM budget: blocks span all heads, so bytes scale with H."""
+    """Static block heuristic (v5e), shrunk to the VMEM budget. The per-shape
+    tuned table (kernels/autotune.py) overrides this when an entry exists."""
     if sk <= LANES:
         bq, bk = min(sq, 4096), LANES
     elif sk <= 1024:
-        # single-KV-per-head path: bigger q blocks halve the program count
+        # single-KV path: bigger q blocks halve the program count
         bq, bk = 1024, 1024
     else:
         bq, bk = 512, 1024
 
     single_kv = bk >= sk
-    # the all-heads kernel handles only tiny-KV (cross-attention); everything
-    # else runs head-per-program (BH-major)
-    all_heads = sk <= LANES
-    eff_h = h if all_heads else 1
+    mode, pack = _attn_layout(sk, h, d)
+    # lanes a block spans: every head (tiny-KV), a 128-lane head pack, or one
+    # BH-major head
+    eff_lanes = {"allheads": h * d, "packed": pack * d}.get(mode, d)
+    # live f32 softmax temps per program: the all-heads kernel keeps ~4x
+    # bq*bk in flight; packed keeps one (bq, bk) chain per sub-head; BH 2x
+    temps_factor = {"allheads": 4, "packed": 2 * pack}.get(mode, 2)
 
     def vmem_bytes(bq, bk):
-        qo = 2 * bq * eff_h * d * itemsize * 2    # q + o blocks (double-buffered)
+        qo = 2 * bq * eff_lanes * itemsize * 2    # q + o blocks (double-buffered)
         # k + v blocks; double-buffered unless the index map is constant
-        kv = 2 * bk * eff_h * d * itemsize * (1 if single_kv else 2)
-        scratch = 0 if single_kv else bq * (2 * LANES + d) * 4  # m, l, acc
-        # live f32 softmax temps: the all-heads kernel keeps more in flight
-        # (empirically 4x bq*bk; the BH-major kernels compile fine at 2x —
-        # (512,1024) runs on hardware and is the tuned optimum)
-        temps = (4 if all_heads else 2) * bq * bk * 4
+        kv = 2 * bk * eff_lanes * itemsize * (1 if single_kv else 2)
+        scratch = 0 if single_kv else bq * 3 * LANES * 4  # m, l, acc
+        temps = temps_factor * bq * bk * 4
         return qo + kv + scratch + temps
 
     # shrink the kv block first (it dominates via double buffering), then q
@@ -221,9 +339,11 @@ def flash_attention(
         # tiny-KV path requires the whole (padded) KV in one block
         block_k = round_up(sk, LANES)
 
-    # fold the softmax scale into q once — XLA fuses it into the producing
-    # matmul, saving a (block_q, block_k) multiply in every kernel program
-    q = q * jnp.asarray(scale, q.dtype)
+    # fold the softmax scale *and* log2(e) into q once — XLA fuses it into the
+    # producing matmul; the kernels then run base-2 softmax (exp2 is the
+    # cheaper VPU transcendental and softmax is base-invariant under this
+    # logit pre-scaling)
+    q = q * jnp.asarray(scale * LOG2E, q.dtype)
 
     # pad seq lens to block multiples (static shapes; XLA folds the pads)
     sq_p = round_up(sq, block_q)
@@ -262,10 +382,72 @@ def flash_attention(
             out = out[:, :sq, :]
         return out
 
-    # self-attention / VAE: head-major kernels — larger blocks fit VMEM
-    # because each program holds one head; for h == 1 the reshape is free,
-    # for h > 1 it costs one transpose (still a large net win at these
-    # shapes: 4.1x over the XLA attention at S=4096)
+    mode, pack = _attn_layout(sk, h, d)
+    if mode == "packed":
+        # head-packed channel-packed kernels: zero transposes, 128-lane blocks
+        # carrying 128/d heads straight from the (B, S, H*D) layout
+        groups = h // pack
+        if sk_p == block_k:
+            out = pl.pallas_call(
+                functools.partial(
+                    _packed_single_kv_kernel, kv_len=sk, head_dim=d
+                ),
+                grid=(b * groups, sq_p // block_q),
+                in_specs=[
+                    pl.BlockSpec((1, block_q, LANES),
+                                 lambda i, j: (i // groups, j, i % groups)),
+                    pl.BlockSpec((1, block_k, LANES),
+                                 lambda i, j: (i // groups, 0, i % groups)),
+                    pl.BlockSpec((1, block_k, LANES),
+                                 lambda i, j: (i // groups, 0, i % groups)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, block_q, LANES),
+                    lambda i, j: (i // groups, j, i % groups),
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel"),
+                ),
+                interpret=interpret,
+            )(qp, kp, vp)
+        else:
+            out = pl.pallas_call(
+                functools.partial(
+                    _packed_flash_kernel, kv_len=sk, block_k=block_k, head_dim=d
+                ),
+                grid=(b * groups, sq_p // block_q, sk_p // block_k),
+                in_specs=[
+                    pl.BlockSpec((1, block_q, LANES),
+                                 lambda i, j, kk: (i // groups, j, i % groups)),
+                    pl.BlockSpec((1, block_k, LANES),
+                                 lambda i, j, kk: (i // groups, kk, i % groups)),
+                    pl.BlockSpec((1, block_k, LANES),
+                                 lambda i, j, kk: (i // groups, kk, i % groups)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, block_q, LANES),
+                    lambda i, j, kk: (i // groups, j, i % groups),
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, LANES), jnp.float32),
+                    pltpu.VMEM((block_q, LANES), jnp.float32),
+                    pltpu.VMEM((block_q, LANES), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel", "arbitrary"),
+                ),
+                interpret=interpret,
+            )(qp, kp, vp)
+        if sq_p != sq:
+            out = out[:, :sq, :]
+        return out
+
+    # fallback: head-major kernels — larger blocks fit VMEM because each
+    # program holds one head; for h == 1 the reshape is free, for h > 1 it
+    # costs transposes through HBM (the packed path above avoids them for
+    # every SD/SDXL shape)
     def to_bh(x, s):
         x = x.reshape(b, s, h, d)
         return x.swapaxes(1, 2).reshape(b * h, s, d) if h > 1 else x.reshape(b, s, d)

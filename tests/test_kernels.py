@@ -24,7 +24,12 @@ from stabletriton_tpu.kernels.time_embed import time_embed as time_embed_k
         (2, 3, 100, 100, 32, 64, 64),      # non-multiple seq (pad+mask both)
         (1, 2, 64, 77, 64, 32, 128),       # SDXL cross-attn kv=77 (pad+mask)
         (1, 1, 16, 16, 64, 512, 512),      # blocks clamp to seq
-        (1, 4, 96, 300, 32, 32, 128),      # multi-kv with padded final block
+        (1, 4, 96, 300, 32, 32, 128),      # packed (pack=4) online, padded kv
+        (1, 2, 256, 256, 64, 128, 128),    # packed (pack=2) online softmax
+        (2, 2, 256, 256, 64, 128, 256),    # packed single-KV (kv one block)
+        (2, 2, 160, 200, 64, 64, 128),     # packed online, both seqs padded
+        (1, 3, 256, 256, 64, 128, 128),    # odd head count -> BH fallback
+        (1, 2, 192, 192, 80, 64, 128),     # d !| 128 -> BH fallback
     ],
 )
 def test_flash_attention_parity(b, h, sq, sk, d, block_q, block_k):
