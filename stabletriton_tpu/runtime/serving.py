@@ -43,11 +43,11 @@ class Request:
         return (self.height, self.width, self.steps, self.guidance_scale, self.solver)
 
 
-def _bucket(n: int) -> int:
-    for b in _BUCKETS:
+def _bucket(n: int, buckets=_BUCKETS) -> int:
+    for b in buckets:
         if n <= b:
             return b
-    return _BUCKETS[-1]
+    return buckets[-1]
 
 
 class ServingEngine:
@@ -57,7 +57,15 @@ class ServingEngine:
                  max_wait_s: float = 0.05):
         self.pipeline = pipeline
         self.tok1, self.tok2 = tok1, tok2
-        self.max_batch = max_batch
+        # mesh-aware buckets: a sharded pipeline needs batches divisible by
+        # the data axis (requests shard across ICI, BASELINE config #5)
+        data = 1
+        if getattr(pipeline, "mesh", None) is not None:
+            from stabletriton_tpu.runtime import mesh as mesh_mod
+
+            data = pipeline.mesh.shape[mesh_mod.DATA_AXIS]
+        self._buckets = tuple(b * data for b in _BUCKETS)
+        self.max_batch = max(max_batch, self._buckets[0])
         self.max_wait_s = max_wait_s
         self._q: "queue.Queue[tuple[Request, Future] | None]" = queue.Queue()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -110,7 +118,7 @@ class ServingEngine:
             futs = [f for _, f in group]
             try:
                 n = len(reqs)
-                bucket = _bucket(n)
+                bucket = _bucket(n, self._buckets)
                 pad = bucket - n
                 prompts = [r.prompt for r in reqs] + [""] * pad
                 negatives = [r.negative for r in reqs] + [""] * pad
