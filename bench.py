@@ -31,10 +31,17 @@ def _build(binding: str, lat: int):
 
     cfg = sdxl_base_unet_config()
     if binding.startswith("ops:"):
-        # e.g. "ops:attention,geglu" — reference base + the listed pallas ops
+        # e.g. "ops:attention,geglu" — reference base + the listed ops bound
+        # to pallas, or "op=backend" for any registered variant
+        # (e.g. "ops:attention,group_norm=onepass")
         import stabletriton_tpu.kernels  # noqa: F401  (register backends)
 
-        overrides = tuple((op, "pallas") for op in binding[4:].split(",") if op)
+        overrides = []
+        for item in binding[4:].split(","):
+            if item:
+                op, _, bk = item.partition("=")
+                overrides.append((op, bk or "pallas"))
+        overrides = tuple(overrides)
         ccfg = CompileConfig(backend="reference", overrides=overrides, dtype="bfloat16")
     else:
         ccfg = CompileConfig(backend=binding, dtype="bfloat16")

@@ -110,6 +110,38 @@ def group_norm(
     return apply_activation(out, act).astype(x.dtype)
 
 
+@register("group_norm", "onepass")
+def group_norm_onepass(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    act: str | None = None,
+):
+    """One-pass channel-major GroupNorm: E[x]/E[x²] via a spatial reduce in
+    the natural NHWC layout (lanes = C), group pooling on the tiny (N, C)
+    stats, then a single per-channel affine normalize pass. Avoids the
+    (N, HW, G, C/G) reshape of the two-pass form, whose last-dim C/G (=10 for
+    SDXL) pads 128-lane tiles badly if XLA materializes it. A/B-able via
+    CompileConfig.overrides (("group_norm", "onepass"),)."""
+    n, h, w, c = x.shape
+    assert c % num_groups == 0, (c, num_groups)
+    per = c // num_groups
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))                    # (N, C)
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 2))
+    cnt = h * w * per
+    mean = s1.reshape(n, num_groups, per).sum(-1) / cnt   # (N, G)
+    ex2 = s2.reshape(n, num_groups, per).sum(-1) / cnt
+    rstd = jax.lax.rsqrt(jnp.maximum(ex2 - jnp.square(mean), 0.0) + eps)
+    scale = jnp.repeat(rstd, per, axis=1) * gamma.astype(jnp.float32)   # (N, C)
+    shift = beta.astype(jnp.float32) - jnp.repeat(mean, per, axis=1) * scale
+    out = xf * scale[:, None, None, :] + shift[:, None, None, :]
+    return apply_activation(out, act).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # layer norm — reference kernel: src/stabletriton/kernels/layer_norm.py
 # (Welford single-pass Triton); XLA fuses the two-pass formulation fine.

@@ -152,3 +152,26 @@ def test_use_backends_binding():
     finally:
         from stabletriton_tpu.ops.registry import _REGISTRY
         _REGISTRY["geglu"].pop("probe", None)
+
+
+def test_group_norm_onepass_matches_two_pass():
+    """The one-pass channel-major GN variant must match the two-pass reference
+    (it is A/B-able as a binding override)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stabletriton_tpu.ops.reference import group_norm, group_norm_onepass
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64), dtype=np.float32) * 3 + 1)
+    g = jnp.asarray(rng.standard_normal(64, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(64, dtype=np.float32))
+    a1 = group_norm(x, g, b, num_groups=8, act="silu")
+    a2 = group_norm_onepass(x, g, b, num_groups=8, act="silu")
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=2e-5)
+    # bf16 input path
+    xb = x.astype(jnp.bfloat16)
+    a1 = group_norm(xb, g, b, num_groups=8)
+    a2 = group_norm_onepass(xb, g, b, num_groups=8)
+    np.testing.assert_allclose(np.asarray(a1, np.float32),
+                               np.asarray(a2, np.float32), atol=2e-2)
