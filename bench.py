@@ -43,6 +43,10 @@ def _build(binding: str, lat: int):
                 overrides.append((op, bk or "pallas"))
         overrides = tuple(overrides)
         ccfg = CompileConfig(backend="reference", overrides=overrides, dtype="bfloat16")
+    elif binding == "turbo_int8":
+        # opt-in draft mode: pallas kernels + W8A8 linears (separately
+        # reported; intentionally outside the 1e-3 fidelity gate)
+        ccfg = CompileConfig(backend="pallas", dtype="bfloat16", quantize="int8")
     else:
         ccfg = CompileConfig(backend=binding, dtype="bfloat16")
     fn = compile_unet(cfg, ccfg)
@@ -51,6 +55,10 @@ def _build(binding: str, lat: int):
         # projection fusion is part of the optimized compile path; the
         # baseline stays the stock (unfused) XLA program
         params = fuse_attention_projections(params)
+    if ccfg.quantize:
+        from stabletriton_tpu.compile import quantize_linear_weights
+
+        params = quantize_linear_weights(params)
 
     rng = np.random.default_rng(0)
     b = 2

@@ -42,6 +42,11 @@ class CompileConfig:
     overrides: tuple[tuple[str, str], ...] = ()
     dtype: str = "bfloat16"
     donate_sample: bool = False
+    # opt-in "turbo" quantization: "int8" pre-quantizes eligible linear
+    # weights (quantize_linear_weights) and binds linear->int8. Breaks the
+    # 1e-3 fidelity gate by design; report its numbers separately.
+    quantize: str | None = None
+    quantize_min_dim: int = 256  # smallest weight dim worth quantizing
 
     @property
     def jnp_dtype(self):
@@ -73,6 +78,10 @@ def resolve_binding(config: CompileConfig) -> dict[str, str]:
         for op in PALLAS_OPS:
             if "pallas" in registered.get(op, []):
                 binding[op] = "pallas"
+    if config.quantize == "int8":
+        binding["linear"] = "int8"
+    elif config.quantize is not None:
+        raise ValueError(f"unknown quantize mode {config.quantize!r}")
     for op, backend in config.overrides:
         if backend != "reference" and backend not in registered.get(op, []):
             raise ValueError(f"override {op}->{backend}: backend not registered")
@@ -108,6 +117,35 @@ def cast_params(params, config: CompileConfig):
     """Pre-cast a param pytree to the compile dtype (done once, not per step)."""
     dtype = config.jnp_dtype
     return jax.tree.map(lambda a: a.astype(dtype), params)
+
+
+def quantize_linear_weights(params: dict, *, min_dim: int = 256) -> dict:
+    """Pre-quantize eligible 2D linear weights to (int8, per-out-channel f32
+    scale) pairs for the linear->int8 turbo binding.
+
+    Eligible: ``*.weight`` with both dims >= min_dim — the transformer
+    projections and MLPs where the FLOPs are. Conditioning-critical small
+    stacks (time/add embeddings) and everything non-2D stay exact; the int8
+    backend passes un-quantized arrays through to the exact path. Run AFTER
+    fuse_attention_projections so fused qkv/kv weights quantize as one tensor.
+    Returns a new dict; originals are not mutated.
+    """
+    out = {}
+    for key, w in params.items():
+        if (
+            key.endswith(".weight")
+            and getattr(w, "ndim", 0) == 2
+            and min(w.shape) >= min_dim
+            and "time_embedding" not in key
+            and "add_embedding" not in key
+        ):
+            wf = jnp.asarray(w, jnp.float32)
+            scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-12) / 127.0
+            wq = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+            out[key] = (wq, scale)
+        else:
+            out[key] = w
+    return out
 
 
 def fuse_attention_projections(params: dict) -> dict:

@@ -196,8 +196,47 @@ def linear(
     *,
     act: str | None = None,
 ):
-    """x: (..., in), w: (in, out)."""
-    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    """x: (..., in), w: (in, out) — or a quantized (w_int8, scale) pair
+    (compile.quantize_linear_weights), dequantized here for exact-path runs."""
+    if isinstance(w, tuple):
+        wq, scale = w
+        w = wq.astype(jnp.float32) * scale
+    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    out = apply_activation(out, act)
+    return out.astype(x.dtype)
+
+
+@register("linear", "int8")
+def linear_int8(
+    x: jax.Array,
+    w,
+    b: jax.Array | None = None,
+    *,
+    act: str | None = None,
+):
+    """W8A8 dynamic-quantized linear — the opt-in "turbo" binding.
+
+    Weights arrive pre-quantized per output channel as an (int8, (out,) f32
+    scale) pair (compile.quantize_linear_weights); activations quantize
+    per-token at runtime (abs-max symmetric). The int8xint8->int32 dot runs
+    on the v5e MXU at 2x the bf16 rate (393 vs 197 TOPS). Breaks the 1e-3
+    fidelity gate by design — report turbo numbers separately.
+    """
+    if not isinstance(w, tuple):
+        # un-quantized stragglers (time/add embeddings) take the exact path
+        return linear(x, w, b, act=act)
+    wq, scale = w
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (sx * scale.astype(jnp.float32))
     if b is not None:
         out = out + b.astype(jnp.float32)
     out = apply_activation(out, act)

@@ -71,8 +71,21 @@ def param_sharding(name: str, shape: tuple[int, ...], mesh: Mesh) -> NamedShardi
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
-    """Device-put a flat param dict with tensor-parallel shardings."""
-    return {
-        k: jax.device_put(v, param_sharding(k, v.shape, mesh))
-        for k, v in params.items()
-    }
+    """Device-put a flat param dict with tensor-parallel shardings.
+
+    Quantized (w_int8, scale) pairs (compile.quantize_linear_weights) shard
+    the int8 weight by the usual name rules; the per-out-channel scale
+    follows the weight's output-dim sharding."""
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, tuple):
+            wq, scale = v
+            ws = param_sharding(k, wq.shape, mesh)
+            sspec = P(ws.spec[1]) if len(ws.spec) == 2 else P()
+            out[k] = (
+                jax.device_put(wq, ws),
+                jax.device_put(scale, NamedSharding(mesh, sspec)),
+            )
+        else:
+            out[k] = jax.device_put(v, param_sharding(k, v.shape, mesh))
+    return out

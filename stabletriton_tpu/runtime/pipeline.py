@@ -66,9 +66,16 @@ class SDXLPipeline:
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def __post_init__(self):
+        self.params = dict(self.params)
         if self.compile_config.backend != "reference":
-            self.params = dict(self.params)
             self.params["unet"] = fuse_attention_projections(self.params["unet"])
+        if self.compile_config.quantize:
+            from stabletriton_tpu.compile import quantize_linear_weights
+
+            self.params["unet"] = quantize_linear_weights(
+                self.params["unet"],
+                min_dim=self.compile_config.quantize_min_dim,
+            )
         if self.mesh is not None:
             from stabletriton_tpu.runtime import mesh as mesh_mod
 
