@@ -106,7 +106,7 @@ class StableTritonTPUTxt2Img:
                 "steps": ("INT", {"default": 30, "min": 1, "max": 200}),
                 "cfg": ("FLOAT", {"default": 5.0, "min": 0.0, "max": 30.0}),
                 "seed": ("INT", {"default": 0}),
-                "solver": (["euler", "dpmpp_2m"], {"default": "euler"}),
+                "solver": (["euler", "heun", "dpmpp_2m"], {"default": "euler"}),
             }
         }
 

@@ -75,6 +75,25 @@ def make_denoise_loop(
             final, _ = jax.lax.scan(step, latents, xs, unroll=unroll)
             return final
 
+    elif solver == "heun":
+
+        def loop(params, latents, ctx, text_embeds, time_ids, extra=None):
+            # timestep for the correction eval at sigma_next (last entry is a
+            # dummy — that step's trapezoid is masked out at sigma_next == 0)
+            t_nexts = jnp.concatenate([timesteps[1:], timesteps[-1:]])
+
+            def step(lat, xs):
+                sigma, sigma_next, t, t_next = xs
+                eps = cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra)
+                proposal = sched.euler_step(lat, eps, sigma, sigma_next)
+                eps2 = cfg_eps(params, proposal, t_next, ctx, text_embeds,
+                               time_ids, sigma_next, extra)
+                return sched.heun_step(lat, eps, eps2, sigma, sigma_next), None
+
+            xs = (sigmas[:-1], sigmas[1:], timesteps, t_nexts)
+            final, _ = jax.lax.scan(step, latents, xs, unroll=unroll)
+            return final
+
     elif solver == "dpmpp_2m":
 
         def loop(params, latents, ctx, text_embeds, time_ids, extra=None):

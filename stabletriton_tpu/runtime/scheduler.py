@@ -110,6 +110,22 @@ def euler_step(sample, eps, sigma, sigma_next):
     return (sample + eps.astype(jnp.float32) * (sigma_next - sigma)).astype(sample.dtype)
 
 
+def heun_step(sample, eps, eps_next, sigma, sigma_next):
+    """One Heun (improved-Euler, 2nd order) step under epsilon prediction.
+
+    eps is the derivative at sigma; eps_next the derivative evaluated at the
+    Euler proposal point at sigma_next (k-diffusion ``sample_heun``,
+    deterministic). At sigma_next == 0 the trapezoid is skipped and the step
+    collapses to the Euler step (== pred_x0). 2 model evaluations per step.
+    """
+    x = sample.astype(jnp.float32)
+    e1 = eps.astype(jnp.float32)
+    e2 = eps_next.astype(jnp.float32)
+    euler = x + e1 * (sigma_next - sigma)
+    trap = x + 0.5 * (e1 + e2) * (sigma_next - sigma)
+    return jnp.where(sigma_next == 0.0, euler, trap).astype(sample.dtype)
+
+
 def dpmpp_2m_step(sample, eps, sigma, sigma_next, prev_x0, have_prev, sigma_prev):
     """One DPM-Solver++(2M) step (epsilon prediction, deterministic).
 

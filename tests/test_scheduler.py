@@ -112,7 +112,37 @@ def test_dpmpp_final_step_returns_x0():
     np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-5)
 
 
-@pytest.mark.parametrize("solver", ["euler", "dpmpp_2m"])
+def test_heun_trajectory_exact_on_analytic_ode():
+    """With exact eps, the sigma-space ODE has solution x = x0 + sigma*c and
+    a constant derivative field, so Heun (trapezoid of two equal slopes) must
+    track it exactly and finish at x0."""
+    schedule = sched.make_schedule(sched.SchedulerConfig(), 8)
+    x0, c = np.float32(1.5), np.float32(0.75)
+
+    def exact_unet(params, sample2, t, ctx, te, ti):
+        # invert the euler pre-scaling to recover x, then exact eps
+        i = jnp.argmin(jnp.abs(jnp.asarray(schedule.timesteps) - t[0]))
+        sigma = jnp.asarray(schedule.sigmas)[i]
+        x = sample2 * jnp.sqrt(sigma**2 + 1.0)
+        return (x - x0) / jnp.maximum(sigma, 1e-6)
+
+    loop = make_denoise_loop(exact_unet, schedule, guidance_scale=1.0,
+                             solver="heun")
+    lat0 = jnp.full((1, 2, 2, 1), x0 + schedule.sigmas[0] * c)
+    out = loop({}, lat0, jnp.zeros((2, 3, 8)), jnp.zeros((2, 8)),
+               jnp.zeros((2, 6)))
+    np.testing.assert_allclose(np.asarray(out), x0, rtol=1e-4, atol=1e-4)
+
+
+def test_heun_final_step_collapses_to_x0():
+    x = jnp.full((1, 2, 2, 1), 4.0)
+    eps = jnp.ones_like(x)
+    out = sched.heun_step(x, eps, jnp.zeros_like(x), jnp.float32(2.0),
+                          jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("solver", ["euler", "heun", "dpmpp_2m"])
 def test_denoise_loop_with_linear_model(solver):
     """Run the scan loop with a fake 'UNet' whose eps = latents/ (sigma²+1)^-½...
     Use eps = scaled input itself; just checks the loop runs, shapes hold, and
