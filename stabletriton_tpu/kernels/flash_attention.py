@@ -245,9 +245,14 @@ def _attn_layout(sk: int, h: int, d: int) -> tuple[str, int]:
     """Kernel routing: ('allheads', h) for tiny-KV cross-attention;
     ('packed', 128//d) when whole heads tile the 128-lane dim and the head
     count divides evenly (every SD/SDXL self-attention shape);
-    ('bh', 1) fallback."""
+    ('bh', 1) fallback. ST_NO_PACKED_ATTN=1 forces the BH fallback (A/B /
+    escape hatch)."""
+    import os
+
     if sk <= LANES:
         return "allheads", h
+    if os.environ.get("ST_NO_PACKED_ATTN", "") not in ("", "0"):
+        return "bh", 1
     pack = LANES // d if (d <= LANES and LANES % d == 0) else 1
     if pack > 1 and h % pack == 0:
         return "packed", pack
