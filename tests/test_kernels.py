@@ -143,3 +143,17 @@ def test_linear_kernel_parity(shape, act):
     out = fused_linear(x, w, b, act=act, block_m=8, block_n=128, block_k=128)
     ref = ops.linear(x, w, b, act=act)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_attention_routing_at_sdxl_shapes():
+    """SDXL shapes must take the intended kernels: packed (transpose-free)
+    for self-attention, all-heads for cross, BH fallback only for the VAE's
+    single 512-wide head."""
+    from stabletriton_tpu.kernels.flash_attention import _attn_layout
+
+    assert _attn_layout(4096, 10, 64) == ("packed", 2)   # 64² level self
+    assert _attn_layout(1024, 20, 64) == ("packed", 2)   # 32² level self
+    assert _attn_layout(77, 10, 64)[0] == "allheads"     # cross-attention
+    assert _attn_layout(256, 8, 40)[0] == "bh"           # d !| 128
+    assert _attn_layout(4096, 1, 512) == ("bh", 1)       # VAE mid-block
+    assert _attn_layout(256, 4, 32) == ("packed", 4)     # SD1.x down level
