@@ -43,10 +43,11 @@ def _build(binding: str, lat: int):
                 overrides.append((op, bk or "pallas"))
         overrides = tuple(overrides)
         ccfg = CompileConfig(backend="reference", overrides=overrides, dtype="bfloat16")
-    elif binding == "turbo_int8":
-        # opt-in draft mode: pallas kernels + W8A8 linears (separately
-        # reported; intentionally outside the 1e-3 fidelity gate)
-        ccfg = CompileConfig(backend="pallas", dtype="bfloat16", quantize="int8")
+    elif binding in ("turbo_int8", "turbo_int8_conv"):
+        # opt-in draft mode: pallas kernels + W8A8 linears (+convs for the
+        # _conv variant); separately reported, outside the 1e-3 fidelity gate
+        ccfg = CompileConfig(backend="pallas", dtype="bfloat16",
+                             quantize=binding[len("turbo_"):])
     else:
         ccfg = CompileConfig(backend=binding, dtype="bfloat16")
     fn = compile_unet(cfg, ccfg)
@@ -58,7 +59,8 @@ def _build(binding: str, lat: int):
     if ccfg.quantize:
         from stabletriton_tpu.compile import quantize_linear_weights
 
-        params = quantize_linear_weights(params)
+        params = quantize_linear_weights(params,
+                                         conv=ccfg.quantize == "int8_conv")
 
     rng = np.random.default_rng(0)
     b = 2

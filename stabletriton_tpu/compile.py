@@ -80,6 +80,9 @@ def resolve_binding(config: CompileConfig) -> dict[str, str]:
                 binding[op] = "pallas"
     if config.quantize == "int8":
         binding["linear"] = "int8"
+    elif config.quantize == "int8_conv":
+        binding["linear"] = "int8"
+        binding["conv2d"] = "int8"
     elif config.quantize is not None:
         raise ValueError(f"unknown quantize mode {config.quantize!r}")
     for op, backend in config.overrides:
@@ -119,28 +122,36 @@ def cast_params(params, config: CompileConfig):
     return jax.tree.map(lambda a: a.astype(dtype), params)
 
 
-def quantize_linear_weights(params: dict, *, min_dim: int = 256) -> dict:
-    """Pre-quantize eligible 2D linear weights to (int8, per-out-channel f32
-    scale) pairs for the linear->int8 turbo binding.
+def quantize_linear_weights(params: dict, *, min_dim: int = 256,
+                            conv: bool = False) -> dict:
+    """Pre-quantize eligible weights to (int8, per-out-channel f32 scale)
+    pairs for the int8 turbo bindings.
 
-    Eligible: ``*.weight`` with both dims >= min_dim — the transformer
-    projections and MLPs where the FLOPs are. Conditioning-critical small
-    stacks (time/add embeddings) and everything non-2D stay exact; the int8
-    backend passes un-quantized arrays through to the exact path. Run AFTER
-    fuse_attention_projections so fused qkv/kv weights quantize as one tensor.
-    Returns a new dict; originals are not mutated.
+    Eligible: 2D ``*.weight`` with both dims >= min_dim — the transformer
+    projections and MLPs where the FLOPs are — and, when ``conv=True``, 4D
+    HWIO conv weights whose in/out channels both reach min_dim (conv_in /
+    conv_out stay exact via their 4-channel side). Conditioning-critical
+    small stacks (time/add embeddings) and everything else stay exact; the
+    int8 backends pass un-quantized arrays through to the exact path. Run
+    AFTER fuse_attention_projections so fused qkv/kv weights quantize as one
+    tensor. Returns a new dict; originals are not mutated.
     """
     out = {}
     for key, w in params.items():
-        if (
+        ndim = getattr(w, "ndim", 0)
+        eligible = (
             key.endswith(".weight")
-            and getattr(w, "ndim", 0) == 2
-            and min(w.shape) >= min_dim
             and "time_embedding" not in key
             and "add_embedding" not in key
-        ):
+            and (
+                (ndim == 2 and min(w.shape) >= min_dim)
+                or (conv and ndim == 4 and min(w.shape[2], w.shape[3]) >= min_dim)
+            )
+        )
+        if eligible:
             wf = jnp.asarray(w, jnp.float32)
-            scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-12) / 127.0
+            red = tuple(range(ndim - 1))  # all but the output-channel axis
+            scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=red), 1e-12) / 127.0
             wq = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
             out[key] = (wq, scale)
         else:

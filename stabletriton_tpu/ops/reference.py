@@ -293,8 +293,12 @@ def conv2d(
     """NHWC conv with HWIO weights; optional bias, residual add, activation.
 
     ``padding``: int (symmetric) or ((top, bottom), (left, right)) — the VAE
-    encoder's downsamplers use the asymmetric (0,1)x(0,1) form.
+    encoder's downsamplers use the asymmetric (0,1)x(0,1) form. Quantized
+    (w_int8, scale) pairs are dequantized here (exact-path fallback).
     """
+    if isinstance(w, tuple):
+        wq, scale = w
+        w = wq.astype(jnp.float32) * scale
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     out = jax.lax.conv_general_dilated(
@@ -305,6 +309,49 @@ def conv2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    if residual is not None:
+        out = out + residual.astype(jnp.float32)
+    out = apply_activation(out, act)
+    return out.astype(x.dtype)
+
+
+@register("conv2d", "int8")
+def conv2d_int8(
+    x: jax.Array,
+    w,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    padding: int | tuple = 1,
+    residual: jax.Array | None = None,
+    act: str | None = None,
+):
+    """W8A8 dynamic-quantized conv (turbo mode, quantize='int8_conv').
+
+    Weights pre-quantized per output channel (HWIO last axis); activations
+    quantize per sample (abs-max symmetric over HWC). int8 conv accumulates
+    in int32 on the MXU; bias/residual/activation epilogue stays f32.
+    """
+    if not isinstance(w, tuple):
+        return conv2d(x, w, b, stride=stride, padding=padding,
+                      residual=residual, act=act)
+    wq, scale = w
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq,
+        window_strides=(stride, stride),
+        padding=list(padding),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (sx * scale.astype(jnp.float32))
     if b is not None:
         out = out + b.astype(jnp.float32)
     if residual is not None:

@@ -75,6 +75,7 @@ class SDXLPipeline:
             self.params["unet"] = quantize_linear_weights(
                 self.params["unet"],
                 min_dim=self.compile_config.quantize_min_dim,
+                conv=self.compile_config.quantize == "int8_conv",
             )
         if self.mesh is not None:
             from stabletriton_tpu.runtime import mesh as mesh_mod

@@ -105,3 +105,58 @@ def test_turbo_pipeline_txt2img_runs():
                        steps=2, seed=0)
     assert img.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_int8_conv_matches_dequant_reference():
+    from stabletriton_tpu.ops.reference import conv2d, conv2d_int8
+
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 48), dtype=np.float32) * 0.2)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(48, dtype=np.float32) * 0.1)
+    res = jnp.asarray(rng.standard_normal((2, 8, 8, 48), dtype=np.float32))
+    got = conv2d_int8(x, (wq, scale), b, residual=res, act="silu")
+    want = conv2d(x, (wq, scale), b, residual=res, act="silu")
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 0.15, err  # per-tensor activation quant over a 288-term sum
+    # un-quantized weights pass through exactly
+    np.testing.assert_allclose(
+        np.asarray(conv2d_int8(x, w, b)), np.asarray(conv2d(x, w, b)), atol=1e-6
+    )
+
+
+def test_int8_conv_mode_selection():
+    cfg = tiny_unet_config()
+    params = init_unet_params(cfg, 0)
+    q = quantize_linear_weights(params, min_dim=16, conv=True)
+    conv_q = [k for k, v in q.items()
+              if isinstance(v, tuple) and v[0].ndim == 4]
+    assert any("resnets" in k and ".conv1." in k for k in conv_q)
+    assert not isinstance(q["conv_in.weight"], tuple)   # 4-ch side stays exact
+    assert not isinstance(q["conv_out.weight"], tuple)
+    binding = resolve_binding(CompileConfig(quantize="int8_conv"))
+    assert binding["conv2d"] == "int8" and binding["linear"] == "int8"
+
+
+def test_turbo_conv_unet_close_to_float():
+    from stabletriton_tpu import ops
+
+    cfg = tiny_unet_config()
+    params = fuse_attention_projections(init_unet_params(cfg, 0))
+    qparams = quantize_linear_weights(params, min_dim=16, conv=True)
+    rng = np.random.default_rng(3)
+    args = (
+        jnp.asarray(rng.standard_normal((2, 16, 16, 4), dtype=np.float32)),
+        jnp.full((2,), 500.0),
+        jnp.asarray(rng.standard_normal((2, 7, cfg.cross_attention_dim), dtype=np.float32)),
+        jnp.asarray(rng.standard_normal((2, 16), dtype=np.float32)),
+        jnp.zeros((2, 6)),
+    )
+    exact = unet_apply(cfg, params, *args)
+    with ops.use_backends({"linear": "int8", "conv2d": "int8"}):
+        turbo = unet_apply(cfg, qparams, *args)
+    exact, turbo = np.asarray(exact), np.asarray(turbo)
+    rel = np.abs(turbo - exact).max() / max(np.abs(exact).max(), 1e-6)
+    assert rel < 0.25, rel  # draft mode with quantized convs: looser bound
