@@ -36,6 +36,9 @@ def main():
     t_turbo = bench._measure("turbo_int8", lat, steps)
     print(json.dumps({"binding": "turbo_int8", "it_s": round(1 / t_turbo, 4),
                       "vs_baseline": round(t_ref / t_turbo, 4)}), flush=True)
+    t_turbo2 = bench._measure("turbo_int8_conv", lat, steps)
+    print(json.dumps({"binding": "turbo_int8_conv", "it_s": round(1 / t_turbo2, 4),
+                      "vs_baseline": round(t_ref / t_turbo2, 4)}), flush=True)
 
     section("group_norm one-pass A/B (attention + GN variants)")
     t_gn1 = bench._measure("ops:attention,group_norm=onepass", lat, steps)
