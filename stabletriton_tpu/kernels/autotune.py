@@ -115,6 +115,20 @@ def attention_candidates(sq: int, sk: int, h: int, d: int,
                   if not (sk <= fa.LANES and bk != sk_cap))
 
 
+def attention_variants(sq: int, sk: int, h: int, d: int) -> list[str | None]:
+    """Kernel families worth measuring for a shape: the BH-major default plus
+    head-packed when whole heads tile the 128-lane dim (tiny-KV shapes take
+    the all-heads path regardless — no variant choice there)."""
+    from stabletriton_tpu.kernels import flash_attention as fa
+
+    if sk <= fa.LANES:
+        return [None]
+    pack = fa.LANES // d if (d <= fa.LANES and fa.LANES % d == 0) else 1
+    if pack > 1 and h % pack == 0:
+        return ["bh", "packed"]
+    return ["bh"]
+
+
 def tune_attention(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
                    persist: bool = True, verbose: bool = True) -> dict:
     """Measure candidates for one attention shape on the current device and
@@ -136,18 +150,25 @@ def tune_attention(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
 
     q, k, v = mk(sq), mk(sk), mk(sk)
     best = None
-    for bq, bk in attention_candidates(sq, sk, h, d, jnp.dtype(dtype).itemsize):
-        try:
-            f = functools.partial(
-                flash_attention, num_heads=h, block_q=bq, block_k=bk
-            )
-            t = bench_fn(f, q, k, v, chain_arg=0)
-        except Exception:  # config doesn't compile/fit — skip
-            continue
-        if verbose:
-            print(f"  [autotune] {key} bq={bq} bk={bk}: {t*1e6:.1f}us", flush=True)
-        if best is None or t < best["t_us"] * 1e-6:
-            best = {"block_q": bq, "block_k": bk, "t_us": round(t * 1e6, 2)}
+    for variant in attention_variants(sq, sk, h, d):
+        for bq, bk in attention_candidates(sq, sk, h, d,
+                                           jnp.dtype(dtype).itemsize):
+            try:
+                f = functools.partial(
+                    flash_attention, num_heads=h, block_q=bq, block_k=bk,
+                    variant=variant,
+                )
+                t = bench_fn(f, q, k, v, chain_arg=0)
+            except Exception:  # config doesn't compile/fit — skip
+                continue
+            if verbose:
+                print(f"  [autotune] {key} {variant or '-'} bq={bq} bk={bk}: "
+                      f"{t*1e6:.1f}us", flush=True)
+            if best is None or t < best["t_us"] * 1e-6:
+                best = {"block_q": bq, "block_k": bk,
+                        "t_us": round(t * 1e6, 2)}
+                if variant is not None:
+                    best["variant"] = variant
     if best is None:
         raise RuntimeError(f"no attention config compiled for {key}")
     record(key, best, persist=persist)

@@ -241,25 +241,34 @@ def _packed_flash_kernel(
         o_ref[0] = (acc_ref[...] / l_ref[...].clip(1e-30)).astype(o_ref.dtype)
 
 
-def _attn_layout(sk: int, h: int, d: int) -> tuple[str, int]:
+def _attn_layout(sk: int, h: int, d: int,
+                 variant: str | None = None) -> tuple[str, int]:
     """Kernel routing: ('allheads', h) for tiny-KV cross-attention;
-    ('packed', 128//d) when whole heads tile the 128-lane dim and the head
-    count divides evenly (every SD/SDXL self-attention shape);
-    ('bh', 1) fallback. ST_NO_PACKED_ATTN=1 forces the BH fallback (A/B /
-    escape hatch)."""
+    ('packed', 128//d) — whole heads tiling the 128-lane dim straight off the
+    channel-packed layout — or ('bh', 1) head-major for longer KV.
+
+    ``variant`` pins the choice ('packed' | 'bh'); it comes from the per-shape
+    tuned table (kernels/autotune.py) or the caller. With no pin the static
+    default is 'bh': step-level A/B on v5e measured the packed path *slower*
+    end-to-end (7.30 vs 7.59 it/s — XLA already folds the head transposes
+    into neighboring ops, and the packed kernels pay 2x softmax VPU temps),
+    so packing must win a measurement to be routed. ST_NO_PACKED_ATTN=1
+    forces 'bh' regardless (escape hatch)."""
     import os
 
     if sk <= LANES:
         return "allheads", h
+    pack = LANES // d if (d <= LANES and LANES % d == 0) else 1
+    can_pack = pack > 1 and h % pack == 0
     if os.environ.get("ST_NO_PACKED_ATTN", "") not in ("", "0"):
         return "bh", 1
-    pack = LANES // d if (d <= LANES and LANES % d == 0) else 1
-    if pack > 1 and h % pack == 0:
+    if variant == "packed" and can_pack:
         return "packed", pack
     return "bh", 1
 
 
-def _pick_blocks(sq: int, sk: int, h: int, d: int, itemsize: int):
+def _pick_blocks(sq: int, sk: int, h: int, d: int, itemsize: int,
+                 variant: str | None = None):
     """Static block heuristic (v5e), shrunk to the VMEM budget. The per-shape
     tuned table (kernels/autotune.py) overrides this when an entry exists."""
     if sk <= LANES:
@@ -271,7 +280,7 @@ def _pick_blocks(sq: int, sk: int, h: int, d: int, itemsize: int):
         bq, bk = 512, 1024
 
     single_kv = bk >= sk
-    mode, pack = _attn_layout(sk, h, d)
+    mode, pack = _attn_layout(sk, h, d, variant)
     # lanes a block spans: every head (tiny-KV), a 128-lane head pack, or one
     # BH-major head
     eff_lanes = {"allheads": h * d, "packed": pack * d}.get(mode, d)
@@ -301,7 +310,10 @@ def _pick_blocks(sq: int, sk: int, h: int, d: int, itemsize: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=(
+        "num_heads", "scale", "block_q", "block_k", "variant", "interpret"
+    ),
 )
 def flash_attention(
     q: jax.Array,
@@ -312,12 +324,15 @@ def flash_attention(
     scale: float | None = None,
     block_q: int | None = None,
     block_k: int | None = None,
+    variant: str | None = None,
     interpret: bool | None = None,
 ):
     """Multi-head attention over channel-packed operands.
 
     q: (B, Sq, H*D); k, v: (B, Sk, H*D) -> (B, Sq, H*D). Non-causal. Heads are
-    sliced inside the kernel — the layout never transposes.
+    sliced inside the kernel — the layout never transposes. ``variant`` pins
+    the self-attention kernel family ('packed' | 'bh'); default comes from
+    the tuned table, else the static routing (see _attn_layout).
     """
     if interpret is None:
         interpret = interpret_mode()
@@ -329,15 +344,17 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / np.sqrt(d)
 
-    auto_q, auto_k = _pick_blocks(sq, sk, h, d, q.dtype.itemsize)
-    if block_q is None and block_k is None:
+    if block_q is None and block_k is None and variant is None:
         # per-shape tuned table (kernels/autotune.py) beats the heuristic when
         # an entry exists for this exact shape on this platform
         from stabletriton_tpu.kernels import autotune
 
         tuned = autotune.lookup(autotune.attention_key(b, sq, sk, h, d, q.dtype))
         if tuned is not None:
-            auto_q, auto_k = int(tuned["block_q"]), int(tuned["block_k"])
+            block_q = int(tuned["block_q"])
+            block_k = int(tuned["block_k"])
+            variant = tuned.get("variant")
+    auto_q, auto_k = _pick_blocks(sq, sk, h, d, q.dtype.itemsize, variant)
     block_q = min(block_q or auto_q, round_up(sq, 8))
     block_k = min(block_k or auto_k, round_up(sk, LANES))
     if sk <= LANES:
@@ -387,7 +404,7 @@ def flash_attention(
             out = out[:, :sq, :]
         return out
 
-    mode, pack = _attn_layout(sk, h, d)
+    mode, pack = _attn_layout(sk, h, d, variant)
     if mode == "packed":
         # head-packed channel-packed kernels: zero transposes, 128-lane blocks
         # carrying 128/d heads straight from the (B, S, H*D) layout

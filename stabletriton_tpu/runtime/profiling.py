@@ -37,13 +37,16 @@ def bench_fn(
     chain_arg: int = 0,
     n_short: int = 4,
     n_long: int = 20,
+    reps: int = 3,
     **kwargs,
 ) -> float:
     """Steady-state seconds per call.
 
     Feeds output back into positional arg ``chain_arg`` (shapes/dtypes must
     match) so calls serialize; measures two chain lengths and returns the
-    slope, cancelling fixed dispatch+readback overhead.
+    slope, cancelling fixed dispatch+readback overhead. Each length is timed
+    ``reps`` times and the minimum taken — tunnel hiccups are one-sided noise
+    and a single bad short-chain sample otherwise collapses the slope to ~0.
     """
     args = list(args)
     out = fn(*args, **kwargs)
@@ -59,8 +62,9 @@ def bench_fn(
         _ = _first_scalar(o)
         return time.perf_counter() - t0
 
-    t_s = chain(n_short)
-    t_l = chain(n_long)
+    chain(2)  # steady-state warmup (first post-compile call can stall)
+    t_s = min(chain(n_short) for _ in range(reps))
+    t_l = min(chain(n_long) for _ in range(reps))
     return max((t_l - t_s) / (n_long - n_short), 1e-9)
 
 

@@ -18,26 +18,29 @@ from stabletriton_tpu.kernels.time_embed import time_embed as time_embed_k
 
 
 @pytest.mark.parametrize(
-    "b,h,sq,sk,d,block_q,block_k",
+    "b,h,sq,sk,d,block_q,block_k,variant",
     [
-        (1, 2, 64, 64, 16, 32, 32),        # multi-block self
-        (2, 3, 100, 100, 32, 64, 64),      # non-multiple seq (pad+mask both)
-        (1, 2, 64, 77, 64, 32, 128),       # SDXL cross-attn kv=77 (pad+mask)
-        (1, 1, 16, 16, 64, 512, 512),      # blocks clamp to seq
-        (1, 4, 96, 300, 32, 32, 128),      # packed (pack=4) online, padded kv
-        (1, 2, 256, 256, 64, 128, 128),    # packed (pack=2) online softmax
-        (2, 2, 256, 256, 64, 128, 256),    # packed single-KV (kv one block)
-        (2, 2, 160, 200, 64, 64, 128),     # packed online, both seqs padded
-        (1, 3, 256, 256, 64, 128, 128),    # odd head count -> BH fallback
-        (1, 2, 192, 192, 80, 64, 128),     # d !| 128 -> BH fallback
+        (1, 2, 64, 64, 16, 32, 32, None),        # multi-block self
+        (2, 3, 100, 100, 32, 64, 64, None),      # non-mult seq (pad+mask both)
+        (1, 2, 64, 77, 64, 32, 128, None),       # SDXL cross kv=77 (pad+mask)
+        (1, 1, 16, 16, 64, 512, 512, None),      # blocks clamp to seq
+        (1, 4, 96, 300, 32, 32, 128, "packed"),  # packed (pack=4), padded kv
+        (1, 2, 256, 256, 64, 128, 128, "packed"),  # packed online softmax
+        (2, 2, 256, 256, 64, 128, 256, "packed"),  # packed single-KV block
+        (2, 2, 160, 200, 64, 64, 128, "packed"),   # packed, both seqs padded
+        (1, 2, 256, 256, 64, 128, 128, "bh"),    # BH-major online (default)
+        (2, 2, 256, 256, 64, 128, 256, "bh"),    # BH-major single-KV
+        (1, 3, 256, 256, 64, 128, 128, None),    # odd head count -> BH
+        (1, 2, 192, 192, 80, 64, 128, None),     # d !| 128 -> BH
     ],
 )
-def test_flash_attention_parity(b, h, sq, sk, d, block_q, block_k):
+def test_flash_attention_parity(b, h, sq, sk, d, block_q, block_k, variant):
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((b, sq, h * d), dtype=np.float32))
     k = jnp.asarray(rng.standard_normal((b, sk, h * d), dtype=np.float32))
     v = jnp.asarray(rng.standard_normal((b, sk, h * d), dtype=np.float32))
-    out = flash_attention(q, k, v, num_heads=h, block_q=block_q, block_k=block_k)
+    out = flash_attention(q, k, v, num_heads=h, block_q=block_q,
+                          block_k=block_k, variant=variant)
     ref = ops.attention(q, k, v, num_heads=h)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
 
@@ -146,14 +149,43 @@ def test_linear_kernel_parity(shape, act):
 
 
 def test_attention_routing_at_sdxl_shapes():
-    """SDXL shapes must take the intended kernels: packed (transpose-free)
-    for self-attention, all-heads for cross, BH fallback only for the VAE's
-    single 512-wide head."""
+    """Routing contract: cross-attention takes the all-heads tiny-KV kernel;
+    self-attention defaults to BH-major (the step-level v5e winner) and only
+    packs when a measurement pinned variant='packed'; impossible pack shapes
+    ignore the pin."""
     from stabletriton_tpu.kernels.flash_attention import _attn_layout
 
-    assert _attn_layout(4096, 10, 64) == ("packed", 2)   # 64² level self
-    assert _attn_layout(1024, 20, 64) == ("packed", 2)   # 32² level self
+    assert _attn_layout(4096, 10, 64) == ("bh", 1)       # 64² level self
+    assert _attn_layout(1024, 20, 64) == ("bh", 1)       # 32² level self
     assert _attn_layout(77, 10, 64)[0] == "allheads"     # cross-attention
-    assert _attn_layout(256, 8, 40)[0] == "bh"           # d !| 128
     assert _attn_layout(4096, 1, 512) == ("bh", 1)       # VAE mid-block
-    assert _attn_layout(256, 4, 32) == ("packed", 4)     # SD1.x down level
+    # a tuned-table pin turns packing on where it's layout-possible...
+    assert _attn_layout(4096, 10, 64, "packed") == ("packed", 2)
+    assert _attn_layout(256, 4, 32, "packed") == ("packed", 4)
+    # ...and is ignored where it isn't
+    assert _attn_layout(256, 8, 40, "packed")[0] == "bh"   # d !| 128
+    assert _attn_layout(256, 3, 64, "packed")[0] == "bh"   # odd head count
+
+
+def test_attention_tuned_variant_pin(monkeypatch):
+    """A tuned-table entry with variant='packed' must route the packed kernel
+    for its exact shape (numerics must stay at parity either way)."""
+    from stabletriton_tpu.kernels import autotune
+
+    # distinctive seq len so no earlier test populated the jit cache for this
+    # exact (shape, static-args) signature with a different lookup result
+    key = autotune.attention_key(1, 320, 320, 2, 64, jnp.float32)
+    monkeypatch.setattr(
+        autotune, "lookup",
+        lambda k, platform=None: (
+            {"block_q": 128, "block_k": 128, "variant": "packed"}
+            if k == key else None
+        ),
+    )
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((1, 320, 128), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 320, 128), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 320, 128), dtype=np.float32))
+    out = flash_attention(q, k, v, num_heads=2)
+    ref = ops.attention(q, k, v, num_heads=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
