@@ -36,9 +36,27 @@ def main(extra_shapes):
     results = {}
     for b, sq, sk, h, d in sorted(shapes):
         key = autotune.attention_key(b, sq, sk, h, d, "bfloat16")
+        if autotune.lookup(key) is not None:
+            print(f"skip (tuned) {key}", flush=True)
+            continue
         print(f"tuning {key} ...", flush=True)
         best = autotune.tune_attention(b, sq, sk, h, d, persist=False)
         results[key] = best
+        # make the entry visible to the fused sweep's split candidate below
+        autotune.record(key, best, persist=False)
+        print(f"  -> {best}", flush=True)
+
+    # fused-operand entry points (what the UNet actually dispatches)
+    for b, sq, sk, h, d in sorted(shapes):
+        kind = "qkv" if sq == sk else "kv"
+        key = autotune.fused_attention_key(kind, b, sq, sk, h, d, "bfloat16")
+        if autotune.lookup(key) is not None:
+            print(f"skip (tuned) {key}", flush=True)
+            continue
+        print(f"tuning {key} ...", flush=True)
+        best = autotune.tune_attention_fused(b, sq, sk, h, d, persist=False)
+        results[key] = best
+        autotune.record(key, best, persist=False)
         print(f"  -> {best}", flush=True)
 
     out = autotune._PACKAGED_DIR / f"{platform}.json"

@@ -27,7 +27,7 @@ from stabletriton_tpu.models.unet import UNetConfig, unet_apply
 #     elementwise fusion into neighboring ops and add HBM round-trips)
 # so attention is the default; everything else stays available via overrides
 # for per-op experimentation (CompileConfig.overrides).
-PALLAS_OPS = ("attention",)
+PALLAS_OPS = ("attention", "attention_qkv", "attention_kv")
 
 # Fused kernels that exist but are opt-in (bind via overrides):
 OPTIONAL_PALLAS_OPS = ("geglu", "group_norm", "layer_norm", "linear", "time_embed", "dropout")

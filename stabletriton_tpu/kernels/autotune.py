@@ -75,6 +75,19 @@ def attention_key(b: int, sq: int, sk: int, h: int, d: int, dtype) -> str:
     return f"attention:b{b}:sq{sq}:sk{sk}:h{h}:d{d}:{jnp.dtype(dtype).name}"
 
 
+def fused_attention_key(kind: str, b: int, sq: int, sk: int, h: int, d: int,
+                        dtype) -> str:
+    """Key for the fused-operand entry points (kind: 'qkv' | 'kv'). Tuned
+    separately from the split interface: the winning config here is either
+    the head-packed fused-direct kernel with specific blocks ({'impl':
+    'fused', block_q, block_k}) or falling back to slice + flash_attention
+    ({'impl': 'split'}, which then reads the attention: table)."""
+    import jax.numpy as jnp
+
+    return (f"attention_{kind}:b{b}:sq{sq}:sk{sk}:h{h}:d{d}:"
+            f"{jnp.dtype(dtype).name}")
+
+
 def lookup(key: str, platform: str | None = None) -> dict | None:
     return _load_table(platform or platform_tag()).get(key)
 
@@ -107,26 +120,33 @@ def attention_candidates(sq: int, sk: int, h: int, d: int,
     sq_cap = fa.round_up(sq, 8)
     sk_cap = fa.round_up(sk, fa.LANES)
     cands = {fa._pick_blocks(sq, sk, h, d, itemsize)}
-    for bq in (128, 256, 512, 1024, 2048, 4096):
-        for bk in (128, 256, 512, 1024, 2048):
+    if sk <= fa.LANES:
+        # tiny-KV path needs the whole (padded) KV in one block
+        bqs, bks = (128, 256, 512, 1024, 2048, 4096), (sk_cap,)
+    else:
+        # bk <= 256 measured uniformly 3-6x off the winner on v5e — not
+        # worth the compiles; the heuristic pick above stays regardless
+        bqs, bks = (256, 512, 1024, 2048, 4096), (512, 1024, 2048)
+    for bq in bqs:
+        for bk in bks:
             cands.add((min(bq, sq_cap), min(bk, sk_cap)))
-    # tiny-KV path needs the whole (padded) KV in one block
     return sorted((bq, bk) for bq, bk in cands
                   if not (sk <= fa.LANES and bk != sk_cap))
 
 
 def attention_variants(sq: int, sk: int, h: int, d: int) -> list[str | None]:
-    """Kernel families worth measuring for a shape: the BH-major default plus
-    head-packed when whole heads tile the 128-lane dim (tiny-KV shapes take
-    the all-heads path regardless — no variant choice there)."""
+    """Kernel families worth measuring for a shape: the static default
+    ('allheads' for tiny KV, 'bh' otherwise) plus head-packed when whole
+    heads tile the 128-lane dim — for tiny KV the packed single-KV kernel
+    competes with the all-heads kernel (full 128-lane tiles vs the 4D
+    head-loop layout whose d-wide slices waste half the lanes)."""
     from stabletriton_tpu.kernels import flash_attention as fa
 
-    if sk <= fa.LANES:
-        return [None]
     pack = fa.LANES // d if (d <= fa.LANES and fa.LANES % d == 0) else 1
-    if pack > 1 and h % pack == 0:
-        return ["bh", "packed"]
-    return ["bh"]
+    can_pack = pack > 1 and h % pack == 0
+    if sk <= fa.LANES:
+        return ["allheads", "packed"] if can_pack else ["allheads"]
+    return ["bh", "packed"] if can_pack else ["bh"]
 
 
 def tune_attention(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
@@ -175,6 +195,91 @@ def tune_attention(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
     return best
 
 
+def tune_attention_fused(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
+                         persist: bool = True, verbose: bool = True) -> dict:
+    """Tune one fused-operand attention shape: the head-packed fused-direct
+    kernel across block configs vs the split fallback (slice +
+    flash_attention, which itself uses the attention: table). Records the
+    winner under fused_attention_key. Measures EXACTLY what the UNet
+    dispatches — the split-interface table can't see the slice-copy and
+    concat glue that differs between the two."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stabletriton_tpu.kernels import flash_attention as fa
+    from stabletriton_tpu.runtime.profiling import bench_fn
+
+    dtype = jnp.bfloat16 if dtype is None else dtype
+    kind = "qkv" if sq == sk else "kv"
+    key = fused_attention_key(kind, b, sq, sk, h, d, dtype)
+    rng = np.random.default_rng(0)
+
+    def mk(s, mult):
+        return jnp.asarray(
+            rng.standard_normal((b, s, mult * h * d), dtype=np.float32)
+        ).astype(dtype)
+
+    if kind == "qkv":
+        ops_args = (mk(sq, 3),)
+        entry = fa.flash_attention_qkv
+
+        # bench_fn chains output back into arg 0, so the benched callable
+        # must be shape-preserving: (B,S,3C)->(B,S,C) is not. Wrap every
+        # candidate (fused AND split) in the same out->3C concat — a
+        # constant additive cost, so the ranking is untouched.
+        def wrap(core):
+            import jax
+
+            @jax.jit
+            def g(x3):
+                o = core(x3)
+                return jnp.concatenate([o, o, o], axis=-1)
+
+            return g
+    else:
+        ops_args = (mk(sq, 1), mk(sk, 2))
+        entry = fa.flash_attention_kv
+
+        def wrap(core):
+            return core  # chains through q: (B,Sq,C)->(B,Sq,C)
+
+    best = None
+    pack = fa.LANES // d if (d <= fa.LANES and fa.LANES % d == 0) else 1
+    if pack > 1 and h % pack == 0:
+        for bq, bk in attention_candidates(sq, sk, h, d,
+                                           jnp.dtype(dtype).itemsize):
+            try:
+                f = wrap(functools.partial(entry, num_heads=h,
+                                           block_q=bq, block_k=bk))
+                t = bench_fn(f, *ops_args, chain_arg=0)
+            except Exception:
+                continue
+            if verbose:
+                print(f"  [autotune] {key} fused bq={bq} bk={bk}: "
+                      f"{t*1e6:.1f}us", flush=True)
+            if best is None or t < best["t_us"] * 1e-6:
+                best = {"impl": "fused", "block_q": bq, "block_k": bk,
+                        "t_us": round(t * 1e6, 2)}
+
+    # the split fallback competes as one candidate (blocks/variant come from
+    # the attention: table inside flash_attention)
+    def split_call(*a):
+        if kind == "qkv":
+            q, k, v = jnp.split(a[0], 3, axis=-1)
+        else:
+            q = a[0]
+            k, v = jnp.split(a[1], 2, axis=-1)
+        return fa.flash_attention(q, k, v, num_heads=h)
+
+    t = bench_fn(wrap(split_call), *ops_args, chain_arg=0)
+    if verbose:
+        print(f"  [autotune] {key} split: {t*1e6:.1f}us", flush=True)
+    if best is None or t < best["t_us"] * 1e-6:
+        best = {"impl": "split", "t_us": round(t * 1e6, 2)}
+    record(key, best, persist=persist)
+    return best
+
+
 def attention_shapes_for_unet(cfg, lat_h: int, lat_w: int, batch: int,
                               ctx_len: int = 77) -> list[tuple[int, int, int, int, int]]:
     """Every (b, sq, sk, h, d) the UNet dispatches at this signature: one
@@ -206,14 +311,22 @@ def attention_shapes_for_unet(cfg, lat_h: int, lat_w: int, batch: int,
 
 def ensure_attention_tuned(cfg, lat_h: int, lat_w: int, batch: int,
                            dtype=None, ctx_len: int = 77) -> None:
-    """Tune any attention shape of this signature that has no table entry."""
+    """Tune any attention shape of this signature that has no table entry.
+
+    Tunes the split interface first (the fused tuner's split candidate and
+    every fallback path read that table), then the fused-operand entry
+    points the UNet actually dispatches."""
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if dtype is None else dtype
-    for b, sq, sk, h, d in attention_shapes_for_unet(cfg, lat_h, lat_w, batch,
-                                                     ctx_len):
+    shapes = attention_shapes_for_unet(cfg, lat_h, lat_w, batch, ctx_len)
+    for b, sq, sk, h, d in shapes:
         if lookup(attention_key(b, sq, sk, h, d, dtype)) is None:
             tune_attention(b, sq, sk, h, d, dtype)
+    for b, sq, sk, h, d in shapes:
+        kind = "qkv" if sq == sk else "kv"
+        if lookup(fused_attention_key(kind, b, sq, sk, h, d, dtype)) is None:
+            tune_attention_fused(b, sq, sk, h, d, dtype)
 
 
 def autotune_enabled() -> bool:

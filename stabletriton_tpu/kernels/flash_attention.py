@@ -146,12 +146,17 @@ def _single_kv_kernel_bh(q_ref, k_ref, v_ref, o_ref, *, kv_len):
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
-def _packed_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, head_dim):
+def _packed_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, head_dim,
+                             q_scale=None):
     """Head-packed single-KV kernel on the channel-packed (B, S, H*D) layout:
     each 128-lane block carries 128//head_dim heads; every sub-head runs its
     own in-register softmax chain on a static lane slice. No transposes ever
-    touch HBM."""
+    touch HBM. ``q_scale`` applies the softmax-scale*log2(e) prescale in-VMEM
+    (used when q comes straight from a fused projection array and the caller
+    could not fold the scale into the producing matmul)."""
     q = q_ref[0]            # (block_q, LANES)
+    if q_scale is not None:
+        q = q * jnp.asarray(q_scale, q.dtype)
     k = k_ref[0]            # (block_k, LANES)
     v = v_ref[0]
     block_k = k_ref.shape[1]
@@ -186,6 +191,7 @@ def _packed_flash_kernel(
     kv_len: int,
     block_k: int,
     head_dim: int,
+    q_scale=None,
 ):
     """Head-packed online-softmax kernel (channel-packed layout, kv-innermost
     grid). Scratch is lane-chunked: lanes [i*d:(i+1)*d] of m/l/acc belong to
@@ -200,6 +206,8 @@ def _packed_flash_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]
+    if q_scale is not None:
+        q = q * jnp.asarray(q_scale, q.dtype)
     k = k_ref[0]
     v = v_ref[0]
     pack = q.shape[1] // head_dim
@@ -247,23 +255,24 @@ def _attn_layout(sk: int, h: int, d: int,
     ('packed', 128//d) — whole heads tiling the 128-lane dim straight off the
     channel-packed layout — or ('bh', 1) head-major for longer KV.
 
-    ``variant`` pins the choice ('packed' | 'bh'); it comes from the per-shape
-    tuned table (kernels/autotune.py) or the caller. With no pin the static
-    default is 'bh': step-level A/B on v5e measured the packed path *slower*
-    end-to-end (7.30 vs 7.59 it/s — XLA already folds the head transposes
-    into neighboring ops, and the packed kernels pay 2x softmax VPU temps),
-    so packing must win a measurement to be routed. ST_NO_PACKED_ATTN=1
-    forces 'bh' regardless (escape hatch)."""
+    ``variant`` pins the choice ('packed' | 'bh' | 'allheads'); it comes from
+    the per-shape tuned table (kernels/autotune.py) or the caller. With no
+    pin the static defaults are 'allheads' for tiny KV and 'bh' otherwise:
+    step-level A/B on v5e measured the packed path *slower* end-to-end
+    (7.30 vs 7.80 it/s — XLA already folds the head transposes into
+    neighboring ops, and the packed kernels pay 2x softmax VPU temps), so
+    packing must win a measurement to be routed. ST_NO_PACKED_ATTN=1 forces
+    the defaults regardless (escape hatch)."""
     import os
 
-    if sk <= LANES:
-        return "allheads", h
     pack = LANES // d if (d <= LANES and LANES % d == 0) else 1
     can_pack = pack > 1 and h % pack == 0
     if os.environ.get("ST_NO_PACKED_ATTN", "") not in ("", "0"):
-        return "bh", 1
+        variant = None
     if variant == "packed" and can_pack:
         return "packed", pack
+    if sk <= LANES:
+        return "allheads", h
     return "bh", 1
 
 
@@ -281,6 +290,12 @@ def _pick_blocks(sq: int, sk: int, h: int, d: int, itemsize: int,
 
     single_kv = bk >= sk
     mode, pack = _attn_layout(sk, h, d, variant)
+    return _shrink_to_vmem(bq, bk, sk, h, d, itemsize, mode, pack)
+
+
+def _shrink_to_vmem(bq, bk, sk, h, d, itemsize, mode, pack):
+    """Halve blocks until the kernel's VMEM byte model fits the budget."""
+    single_kv = bk >= sk
     # lanes a block spans: every head (tiny-KV), a 128-lane head pack, or one
     # BH-major head
     eff_lanes = {"allheads": h * d, "packed": pack * d}.get(mode, d)
@@ -374,7 +389,8 @@ def flash_attention(
     kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else k
     vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0))) if sk_p != sk else v
 
-    if sk_p <= LANES:
+    mode, pack = _attn_layout(sk, h, d, variant)
+    if sk_p <= LANES and mode == "allheads":
         # tiny-KV (cross-attention) fast path: transpose-free all-heads kernel
         # on the 4D view; one output per head (2D stores), lane-concat back —
         # 7.7x over the XLA attention at SDXL cross shapes
@@ -404,7 +420,6 @@ def flash_attention(
             out = out[:, :sq, :]
         return out
 
-    mode, pack = _attn_layout(sk, h, d, variant)
     if mode == "packed":
         # head-packed channel-packed kernels: zero transposes, 128-lane blocks
         # carrying 128/d heads straight from the (B, S, H*D) layout
@@ -525,3 +540,256 @@ def flash_attention(
 @register("attention", "pallas")
 def attention(q, k, v, *, num_heads=1, scale=None):
     return flash_attention(q, k, v, num_heads=num_heads, scale=scale)
+
+
+def _fused_tuned(kind, b, sq, sk, h, d, dtype):
+    """Tuned entry for a fused-operand shape (kernels/autotune.py
+    tune_attention_fused): {'impl': 'fused', block_q, block_k} or
+    {'impl': 'split'} or None."""
+    from stabletriton_tpu.kernels import autotune
+
+    return autotune.lookup(
+        autotune.fused_attention_key(kind, b, sq, sk, h, d, dtype)
+    )
+
+
+def _can_pack(c: int, h: int, d: int) -> bool:
+    import os
+
+    if os.environ.get("ST_NO_PACKED_ATTN", "") not in ("", "0"):
+        return False
+    pack = LANES // d if (d <= LANES and LANES % d == 0) else 1
+    return c % LANES == 0 and pack > 1 and h % pack == 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention_qkv(
+    qkv: jax.Array,
+    *,
+    num_heads: int = 1,
+    scale: float | None = None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    interpret: bool | None = None,
+):
+    """Self-attention reading the fused QKV projection output directly.
+
+    qkv: (B, S, 3*H*D) -> (B, S, H*D). The head-packed kernels take their
+    q/k/v blocks as 128-lane chunks of the SAME fused array (three BlockSpecs
+    into one buffer), so the three (B, S, H*D) slice copies that materialized
+    Pallas inputs would force — plus every transpose of a head-major layout —
+    never touch HBM. The softmax scale*log2(e) prescale runs in-VMEM on the
+    q block (there is no producing matmul to fold it into from here).
+    Falls back to slice + flash_attention when whole heads don't tile the
+    128-lane dim (SD1.x d=40, VAE h=1) or ST_NO_PACKED_ATTN=1."""
+    if interpret is None:
+        interpret = interpret_mode()
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    h = num_heads
+    assert c % h == 0, (c, h)
+    d = c // h
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+
+    tuned = (None if block_q or block_k
+             else _fused_tuned("qkv", b, s, s, h, d, qkv.dtype))
+    if not _can_pack(c, h, d) or (tuned or {}).get("impl") == "split":
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return flash_attention(q, k, v, num_heads=h, scale=scale,
+                               block_q=block_q, block_k=block_k,
+                               interpret=interpret)
+
+    if tuned is not None:
+        block_q, block_k = int(tuned["block_q"]), int(tuned["block_k"])
+    if block_q is None or block_k is None:
+        auto_q, auto_k = _pick_blocks(s, s, h, d, qkv.dtype.itemsize,
+                                      "packed")
+        block_q, block_k = block_q or auto_q, block_k or auto_k
+    block_q = min(block_q, round_up(s, 8))
+    block_k = min(block_k, round_up(s, LANES))
+    # q and kv rows come from the same (padded) seq dim: pad once to a
+    # common multiple of both block sizes (powers of two -> the max)
+    lcm = int(np.lcm(block_q, block_k))
+    s_p = round_up(s, lcm)
+    x = jnp.pad(qkv, ((0, 0), (0, s_p - s), (0, 0))) if s_p != s else qkv
+
+    groups = c // LANES  # == h // pack
+    q_scale = float(scale) * LOG2E
+    if s_p == block_k:
+        out = pl.pallas_call(
+            functools.partial(_packed_single_kv_kernel, kv_len=s,
+                              head_dim=d, q_scale=q_scale),
+            grid=(b * groups, s_p // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, LANES),
+                             lambda i, j: (i // groups, j, i % groups)),
+                pl.BlockSpec((1, block_k, LANES),
+                             lambda i, j: (i // groups, 0,
+                                           groups + i % groups)),
+                pl.BlockSpec((1, block_k, LANES),
+                             lambda i, j: (i // groups, 0,
+                                           2 * groups + i % groups)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, LANES), lambda i, j: (i // groups, j, i % groups)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, s_p, c), qkv.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(x, x, x)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_packed_flash_kernel, kv_len=s, block_k=block_k,
+                              head_dim=d, q_scale=q_scale),
+            grid=(b * groups, s_p // block_q, s_p // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, LANES),
+                             lambda i, j, kk: (i // groups, j, i % groups)),
+                pl.BlockSpec((1, block_k, LANES),
+                             lambda i, j, kk: (i // groups, kk,
+                                               groups + i % groups)),
+                pl.BlockSpec((1, block_k, LANES),
+                             lambda i, j, kk: (i // groups, kk,
+                                               2 * groups + i % groups)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, LANES),
+                lambda i, j, kk: (i // groups, j, i % groups),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, s_p, c), qkv.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(x, x, x)
+    return out[:, :s, :] if s_p != s else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention_kv(
+    q: jax.Array,
+    kv: jax.Array,
+    *,
+    num_heads: int = 1,
+    scale: float | None = None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    interpret: bool | None = None,
+):
+    """Cross-attention reading the fused KV projection output directly.
+
+    q: (B, Sq, H*D); kv: (B, Sk, 2*H*D) -> (B, Sq, H*D). Same head-packed
+    lane-chunk scheme as flash_attention_qkv — and unlike the all-heads
+    tiny-KV kernel it emits one (B, Sq, C) array instead of H per-head
+    outputs that XLA must lane-concat afterwards."""
+    if interpret is None:
+        interpret = interpret_mode()
+    b, sq, c = q.shape
+    sk = kv.shape[1]
+    h = num_heads
+    assert c % h == 0 and kv.shape[2] == 2 * c, (q.shape, kv.shape, h)
+    d = c // h
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+
+    tuned = (None if block_q or block_k
+             else _fused_tuned("kv", b, sq, sk, h, d, q.dtype))
+    if not _can_pack(c, h, d) or (tuned or {}).get("impl") == "split":
+        k, v = jnp.split(kv, 2, axis=-1)
+        return flash_attention(q, k, v, num_heads=h, scale=scale,
+                               block_q=block_q, block_k=block_k,
+                               interpret=interpret)
+
+    if tuned is not None:
+        block_q, block_k = int(tuned["block_q"]), int(tuned["block_k"])
+    if block_q is None or block_k is None:
+        auto_q, auto_k = _pick_blocks(sq, sk, h, d, q.dtype.itemsize,
+                                      "packed")
+        block_q, block_k = block_q or auto_q, block_k or auto_k
+    block_q = min(block_q, round_up(sq, 8))
+    block_k = min(block_k, round_up(sk, LANES))
+    sq_p = round_up(sq, block_q)
+    sk_p = round_up(sk, block_k)
+    qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0))) if sq_p != sq else q
+    kvp = (jnp.pad(kv, ((0, 0), (0, sk_p - sk), (0, 0)))
+           if sk_p != sk else kv)
+
+    groups = c // LANES
+    q_scale = float(scale) * LOG2E
+    if sk_p == block_k:
+        out = pl.pallas_call(
+            functools.partial(_packed_single_kv_kernel, kv_len=sk,
+                              head_dim=d, q_scale=q_scale),
+            grid=(b * groups, sq_p // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, LANES),
+                             lambda i, j: (i // groups, j, i % groups)),
+                pl.BlockSpec((1, block_k, LANES),
+                             lambda i, j: (i // groups, 0, i % groups)),
+                pl.BlockSpec((1, block_k, LANES),
+                             lambda i, j: (i // groups, 0,
+                                           groups + i % groups)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, LANES), lambda i, j: (i // groups, j, i % groups)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(qp, kvp, kvp)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_packed_flash_kernel, kv_len=sk, block_k=block_k,
+                              head_dim=d, q_scale=q_scale),
+            grid=(b * groups, sq_p // block_q, sk_p // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, LANES),
+                             lambda i, j, kk: (i // groups, j, i % groups)),
+                pl.BlockSpec((1, block_k, LANES),
+                             lambda i, j, kk: (i // groups, kk, i % groups)),
+                pl.BlockSpec((1, block_k, LANES),
+                             lambda i, j, kk: (i // groups, kk,
+                                               groups + i % groups)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, LANES),
+                lambda i, j, kk: (i // groups, j, i % groups),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qp, kvp, kvp)
+    return out[:, :sq, :] if sq_p != sq else out
+
+
+@register("attention_qkv", "pallas")
+def attention_qkv(qkv, *, num_heads=1, scale=None):
+    return flash_attention_qkv(qkv, num_heads=num_heads, scale=scale)
+
+
+@register("attention_kv", "pallas")
+def attention_kv(q, kv, *, num_heads=1, scale=None):
+    return flash_attention_kv(q, kv, num_heads=num_heads, scale=scale)

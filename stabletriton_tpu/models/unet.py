@@ -375,15 +375,20 @@ def _attention_layer(p, key: str, x, context, num_heads: int):
     (compile.fuse_attention_projections): one wide qkv/kv dot instead of
     three/two narrow ones — the reference's planned-but-unwired QKV fusion."""
     if f"{key}.to_qkv.weight" in p:
-        q, k, v = jnp.split(ops.linear(x, p[f"{key}.to_qkv.weight"]), 3, axis=-1)
+        # fused-operand op: the pallas backend reads q/k/v lane-chunks of the
+        # projection output in-kernel (no slice copies); the reference
+        # backend splits — identical HLO to slicing here
+        qkv = ops.linear(x, p[f"{key}.to_qkv.weight"])
+        out = ops.attention_qkv(qkv, num_heads=num_heads)
     elif f"{key}.to_kv.weight" in p:
         q = ops.linear(x, p[f"{key}.to_q.weight"])
-        k, v = jnp.split(ops.linear(context, p[f"{key}.to_kv.weight"]), 2, axis=-1)
+        kv = ops.linear(context, p[f"{key}.to_kv.weight"])
+        out = ops.attention_kv(q, kv, num_heads=num_heads)
     else:
         q = ops.linear(x, p[f"{key}.to_q.weight"])
         k = ops.linear(context, p[f"{key}.to_k.weight"])
         v = ops.linear(context, p[f"{key}.to_v.weight"])
-    out = ops.attention(q, k, v, num_heads=num_heads)
+        out = ops.attention(q, k, v, num_heads=num_heads)
     return ops.linear(out, p[f"{key}.to_out.0.weight"], p[f"{key}.to_out.0.bias"])
 
 

@@ -18,6 +18,8 @@ from stabletriton_tpu.ops.registry import (  # noqa: F401
 from stabletriton_tpu.ops import reference  # noqa: F401  (registers "reference")
 
 attention = partial(dispatch, "attention")
+attention_qkv = partial(dispatch, "attention_qkv")
+attention_kv = partial(dispatch, "attention_kv")
 group_norm = partial(dispatch, "group_norm")
 layer_norm = partial(dispatch, "layer_norm")
 geglu = partial(dispatch, "geglu")

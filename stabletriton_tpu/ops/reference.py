@@ -81,6 +81,27 @@ def attention(
     return out.transpose(0, 2, 1, 3).reshape(b, sq, c)
 
 
+@register("attention_qkv", "reference")
+def attention_qkv(qkv: jax.Array, *, num_heads: int = 1,
+                  scale: float | None = None):
+    """Self-attention over the fused QKV projection output (B, S, 3*H*D)
+    (compile.fuse_attention_projections). The reference backend splits and
+    runs the plain math — identical HLO to slicing at the call site, so the
+    stock-XLA baseline is unchanged. The pallas backend instead reads q/k/v
+    lane-chunks of the fused array directly inside the kernel, eliminating
+    the three materialized slice copies a pallas_call input would force."""
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return attention(q, k, v, num_heads=num_heads, scale=scale)
+
+
+@register("attention_kv", "reference")
+def attention_kv(q: jax.Array, kv: jax.Array, *, num_heads: int = 1,
+                 scale: float | None = None):
+    """Cross-attention over the fused KV projection output (B, Sk, 2*H*D)."""
+    k, v = jnp.split(kv, 2, axis=-1)
+    return attention(q, k, v, num_heads=num_heads, scale=scale)
+
+
 # ---------------------------------------------------------------------------
 # group norm (+ optional fused activation) — reference kernel:
 # src/stabletriton/kernels/groupnorm.py (one program per (batch, group));

@@ -38,6 +38,7 @@ def bench_fn(
     n_short: int = 4,
     n_long: int = 20,
     reps: int = 3,
+    min_window: float = 0.030,
     **kwargs,
 ) -> float:
     """Steady-state seconds per call.
@@ -47,6 +48,11 @@ def bench_fn(
     slope, cancelling fixed dispatch+readback overhead. Each length is timed
     ``reps`` times and the minimum taken — tunnel hiccups are one-sided noise
     and a single bad short-chain sample otherwise collapses the slope to ~0.
+
+    The chain is lengthened adaptively until the long-minus-short window
+    exceeds ``min_window`` seconds: for sub-millisecond kernels a 16-call
+    window sits below the tunnel's RTT jitter and the slope degenerates
+    (observed as 0.0us winners in the autotune sweep).
     """
     args = list(args)
     out = fn(*args, **kwargs)
@@ -65,6 +71,9 @@ def bench_fn(
     chain(2)  # steady-state warmup (first post-compile call can stall)
     t_s = min(chain(n_short) for _ in range(reps))
     t_l = min(chain(n_long) for _ in range(reps))
+    while t_l - t_s < min_window and n_long < 5000:
+        n_long *= 4
+        t_l = min(chain(n_long) for _ in range(reps))
     return max((t_l - t_s) / (n_long - n_short), 1e-9)
 
 

@@ -50,6 +50,41 @@ def test_flash_attention_consults_table(tmp_path, monkeypatch):
     autotune._TABLES.clear()
 
 
+def test_fused_key_stable():
+    k = autotune.fused_attention_key("qkv", 2, 4096, 4096, 10, 64, jnp.bfloat16)
+    assert k == "attention_qkv:b2:sq4096:sk4096:h10:d64:bfloat16"
+    k = autotune.fused_attention_key("kv", 2, 1024, 77, 20, 64, jnp.bfloat16)
+    assert k == "attention_kv:b2:sq1024:sk77:h20:d64:bfloat16"
+
+
+def test_fused_entry_honors_impl_split(tmp_path, monkeypatch):
+    """A tuned {'impl': 'split'} entry must route flash_attention_qkv through
+    the split fallback; a fused entry must use its blocks. Both at parity."""
+    from stabletriton_tpu.kernels.flash_attention import flash_attention_qkv
+    from stabletriton_tpu.ops.reference import attention_qkv as ref_qkv
+
+    monkeypatch.setenv("ST_TPU_AUTOTUNE_CACHE", str(tmp_path / "cache.json"))
+    autotune._TABLES.clear()
+    b, s, h, d = 1, 192, 2, 64
+    rng = np.random.default_rng(11)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * h * d), dtype=np.float32))
+    want = ref_qkv(qkv, num_heads=h)
+
+    key = autotune.fused_attention_key("qkv", b, s, s, h, d, jnp.float32)
+    autotune.record(key, {"impl": "split", "t_us": 1.0})
+    got = flash_attention_qkv(qkv, num_heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    autotune.record(key, {"impl": "fused", "block_q": 64, "block_k": 128,
+                          "t_us": 1.0})
+    # new jit signature not needed: lookup happens at trace time, but the jit
+    # cache keys only on shapes/statics — clear it so the new entry is read
+    flash_attention_qkv._clear_cache()
+    got = flash_attention_qkv(qkv, num_heads=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    autotune._TABLES.clear()
+
+
 def test_attention_shapes_for_sdxl():
     cfg = sdxl_base_unet_config()
     shapes = autotune.attention_shapes_for_unet(cfg, 128, 128, 1)

@@ -10,7 +10,11 @@ import numpy as np
 import pytest
 
 from stabletriton_tpu import ops
-from stabletriton_tpu.kernels.flash_attention import flash_attention
+from stabletriton_tpu.kernels.flash_attention import (
+    flash_attention,
+    flash_attention_kv,
+    flash_attention_qkv,
+)
 from stabletriton_tpu.kernels.geglu import geglu as geglu_k
 from stabletriton_tpu.kernels.group_norm import group_norm as group_norm_k
 from stabletriton_tpu.kernels.layer_norm import layer_norm as layer_norm_k
@@ -28,6 +32,7 @@ from stabletriton_tpu.kernels.time_embed import time_embed as time_embed_k
         (1, 2, 256, 256, 64, 128, 128, "packed"),  # packed online softmax
         (2, 2, 256, 256, 64, 128, 256, "packed"),  # packed single-KV block
         (2, 2, 160, 200, 64, 64, 128, "packed"),   # packed, both seqs padded
+        (2, 2, 100, 77, 64, 64, 128, "packed"),  # packed tiny-KV (cross)
         (1, 2, 256, 256, 64, 128, 128, "bh"),    # BH-major online (default)
         (2, 2, 256, 256, 64, 128, 256, "bh"),    # BH-major single-KV
         (1, 3, 256, 256, 64, 128, 128, None),    # odd head count -> BH
@@ -165,6 +170,63 @@ def test_attention_routing_at_sdxl_shapes():
     # ...and is ignored where it isn't
     assert _attn_layout(256, 8, 40, "packed")[0] == "bh"   # d !| 128
     assert _attn_layout(256, 3, 64, "packed")[0] == "bh"   # odd head count
+
+
+@pytest.mark.parametrize(
+    "b,h,s,d,block_q,block_k",
+    [
+        (1, 2, 256, 64, 128, 256),   # packed single-KV (whole KV one block)
+        (1, 2, 256, 64, 128, 128),   # packed online softmax
+        (2, 4, 100, 32, 64, 128),    # padded seq (pad once, mask kv)
+        (1, 3, 64, 64, 32, 64),      # odd head count -> split fallback
+        (2, 2, 96, 40, 32, 128),     # d !| 128 -> split fallback
+    ],
+)
+def test_flash_attention_qkv_parity(b, h, s, d, block_q, block_k):
+    """Fused-QKV entry point must match reference attention on the split
+    operands (in-kernel lane-chunk reads + in-VMEM q-prescale)."""
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * h * d), dtype=np.float32))
+    out = flash_attention_qkv(qkv, num_heads=h, block_q=block_q,
+                              block_k=block_k)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ref = ops.attention(q, k, v, num_heads=h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "b,h,sq,sk,d,block_q,block_k",
+    [
+        (2, 2, 128, 77, 64, 64, 128),   # SDXL-style cross, packed single-KV
+        (1, 4, 96, 300, 32, 32, 128),   # packed online, padded kv
+        (1, 1, 64, 77, 64, 32, 128),    # h=1 -> split fallback
+    ],
+)
+def test_flash_attention_kv_parity(b, h, sq, sk, d, block_q, block_k):
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.standard_normal((b, sq, h * d), dtype=np.float32))
+    kv = jnp.asarray(rng.standard_normal((b, sk, 2 * h * d), dtype=np.float32))
+    out = flash_attention_kv(q, kv, num_heads=h, block_q=block_q,
+                             block_k=block_k)
+    k, v = jnp.split(kv, 2, axis=-1)
+    ref = ops.attention(q, k, v, num_heads=h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_fused_attention_ops_dispatch():
+    """ops.attention_qkv/_kv under the pallas binding match the reference
+    binding (the compile-level contract the UNet relies on)."""
+    rng = np.random.default_rng(9)
+    qkv = jnp.asarray(rng.standard_normal((1, 64, 3 * 128), dtype=np.float32))
+    q = jnp.asarray(rng.standard_normal((1, 64, 128), dtype=np.float32))
+    kv = jnp.asarray(rng.standard_normal((1, 77, 256), dtype=np.float32))
+    with ops.use_backends({"attention_qkv": "pallas", "attention_kv": "pallas"}):
+        o1 = ops.attention_qkv(qkv, num_heads=2)
+        o2 = ops.attention_kv(q, kv, num_heads=2)
+    r1 = ops.attention_qkv(qkv, num_heads=2)
+    r2 = ops.attention_kv(q, kv, num_heads=2)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(r1), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(r2), atol=1e-3)
 
 
 def test_attention_tuned_variant_pin(monkeypatch):
