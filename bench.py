@@ -43,7 +43,7 @@ def _build(binding: str, lat: int):
                 overrides.append((op, bk or "pallas"))
         overrides = tuple(overrides)
         ccfg = CompileConfig(backend="reference", overrides=overrides, dtype="bfloat16")
-    elif binding in ("turbo_int8", "turbo_int8_conv"):
+    elif binding in ("turbo_int8", "turbo_int8_conv", "turbo_int8_ff"):
         # opt-in draft mode: pallas kernels + W8A8 linears (+convs for the
         # _conv variant); separately reported, outside the 1e-3 fidelity gate
         ccfg = CompileConfig(backend="pallas", dtype="bfloat16",
@@ -60,7 +60,8 @@ def _build(binding: str, lat: int):
         from stabletriton_tpu.compile import quantize_linear_weights
 
         params = quantize_linear_weights(params,
-                                         conv=ccfg.quantize == "int8_conv")
+                                         conv=ccfg.quantize == "int8_conv",
+                                         ff_only=ccfg.quantize == "int8_ff")
 
     rng = np.random.default_rng(0)
     b = 2

@@ -33,10 +33,13 @@ def main(extra_shapes):
     shapes.update(autotune.attention_shapes_for_unet(sd15, 64, 64, 2))
     shapes.update(extra_shapes)
 
+    import os
+
+    force = os.environ.get("ST_TUNE_FORCE", "")  # substring match re-tunes
     results = {}
     for b, sq, sk, h, d in sorted(shapes):
         key = autotune.attention_key(b, sq, sk, h, d, "bfloat16")
-        if autotune.lookup(key) is not None:
+        if autotune.lookup(key) is not None and not (force and force in key):
             print(f"skip (tuned) {key}", flush=True)
             continue
         print(f"tuning {key} ...", flush=True)
@@ -50,7 +53,7 @@ def main(extra_shapes):
     for b, sq, sk, h, d in sorted(shapes):
         kind = "qkv" if sq == sk else "kv"
         key = autotune.fused_attention_key(kind, b, sq, sk, h, d, "bfloat16")
-        if autotune.lookup(key) is not None:
+        if autotune.lookup(key) is not None and not (force and force in key):
             print(f"skip (tuned) {key}", flush=True)
             continue
         print(f"tuning {key} ...", flush=True)

@@ -78,7 +78,7 @@ def resolve_binding(config: CompileConfig) -> dict[str, str]:
         for op in PALLAS_OPS:
             if "pallas" in registered.get(op, []):
                 binding[op] = "pallas"
-    if config.quantize == "int8":
+    if config.quantize in ("int8", "int8_ff"):
         binding["linear"] = "int8"
     elif config.quantize == "int8_conv":
         binding["linear"] = "int8"
@@ -123,7 +123,7 @@ def cast_params(params, config: CompileConfig):
 
 
 def quantize_linear_weights(params: dict, *, min_dim: int = 256,
-                            conv: bool = False) -> dict:
+                            conv: bool = False, ff_only: bool = False) -> dict:
     """Pre-quantize eligible weights to (int8, per-out-channel f32 scale)
     pairs for the int8 turbo bindings.
 
@@ -135,6 +135,13 @@ def quantize_linear_weights(params: dict, *, min_dim: int = 256,
     int8 backends pass un-quantized arrays through to the exact path. Run
     AFTER fuse_attention_projections so fused qkv/kv weights quantize as one
     tensor. Returns a new dict; originals are not mutated.
+
+    ``ff_only`` restricts to the GEGLU up-projections (``.net.0.proj``):
+    v5e microbench (scripts/int8_check.py) shows the int8 MXU rate only
+    engages on wide-N GEMMs — 1.86-1.98x on the (640->5120)/(1280->10240)
+    FF projections vs 0.92x on square attention projections, where the
+    dynamic activation-quant overhead wins instead. Quantizing just the FF
+    ups keeps most of the turbo win AND a smaller numerics deviation.
     """
     out = {}
     for key, w in params.items():
@@ -143,6 +150,7 @@ def quantize_linear_weights(params: dict, *, min_dim: int = 256,
             key.endswith(".weight")
             and "time_embedding" not in key
             and "add_embedding" not in key
+            and (not ff_only or ".net.0.proj." in key)
             and (
                 (ndim == 2 and min(w.shape) >= min_dim)
                 or (conv and ndim == 4 and min(w.shape[2], w.shape[3]) >= min_dim)

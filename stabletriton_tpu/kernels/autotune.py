@@ -125,8 +125,12 @@ def attention_candidates(sq: int, sk: int, h: int, d: int,
         bqs, bks = (128, 256, 512, 1024, 2048, 4096), (sk_cap,)
     else:
         # bk <= 256 measured uniformly 3-6x off the winner on v5e — not
-        # worth the compiles; the heuristic pick above stays regardless
+        # worth the compiles; the heuristic pick above stays regardless.
+        # Whole-KV (bk = padded sk) switches to the single-KV kernels: no
+        # online-softmax rescale work at all — worth trying up to S=4096.
         bqs, bks = (256, 512, 1024, 2048, 4096), (512, 1024, 2048)
+        if 2048 < sk_cap <= 4096:
+            bks = bks + (sk_cap,)
     for bq in bqs:
         for bk in bks:
             cands.add((min(bq, sq_cap), min(bk, sk_cap)))

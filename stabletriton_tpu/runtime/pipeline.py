@@ -76,6 +76,7 @@ class SDXLPipeline:
                 self.params["unet"],
                 min_dim=self.compile_config.quantize_min_dim,
                 conv=self.compile_config.quantize == "int8_conv",
+                ff_only=self.compile_config.quantize == "int8_ff",
             )
         if self.mesh is not None:
             from stabletriton_tpu.runtime import mesh as mesh_mod

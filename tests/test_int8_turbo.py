@@ -42,6 +42,20 @@ def test_int8_binding_resolution():
     assert binding["linear"] == "int8"
     binding = resolve_binding(CompileConfig(backend="reference", quantize="int8"))
     assert binding["linear"] == "int8"
+    binding = resolve_binding(CompileConfig(backend="pallas", quantize="int8_ff"))
+    assert binding["linear"] == "int8"
+
+
+def test_quantize_ff_only_selects_geglu_ups():
+    """int8_ff quantizes ONLY the GEGLU up-projections — the sole shapes
+    where the v5e int8 MXU rate engages (scripts/int8_check.py)."""
+    cfg = tiny_unet_config()
+    params = fuse_attention_projections(init_unet_params(cfg, 0))
+    q = quantize_linear_weights(params, min_dim=16, ff_only=True)
+    quantized = [k for k, v in q.items() if isinstance(v, tuple)]
+    assert quantized, "no GEGLU up-projections found"
+    assert all(".net.0.proj." in k for k in quantized)
+    assert not any(".to_qkv." in k for k in quantized)
 
 
 def test_int8_linear_matches_dequant_reference():
