@@ -131,6 +131,23 @@ def group_norm(
     return apply_activation(out, act).astype(x.dtype)
 
 
+@register("group_norm", "barrier")
+def group_norm_barrier(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    act: str | None = None,
+):
+    """One-pass GroupNorm behind an optimization barrier — identical
+    numerics; keeps the GN stats reductions out of the producing conv's
+    epilogue (same rationale as layer_norm 'barrier')."""
+    return group_norm_onepass(jax.lax.optimization_barrier(x), gamma, beta,
+                              num_groups=num_groups, eps=eps, act=act)
+
+
 @register("group_norm", "onepass")
 def group_norm_onepass(
     x: jax.Array,
@@ -186,6 +203,25 @@ def layer_norm(
     if beta is not None:
         out = out + beta.astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+@register("layer_norm", "barrier")
+def layer_norm_barrier(
+    x: jax.Array,
+    gamma: jax.Array | None,
+    beta: jax.Array | None,
+    *,
+    eps: float = 1e-5,
+):
+    """LayerNorm behind an optimization barrier — identical numerics.
+
+    Without it XLA fuses the LN *stats reductions* into the producing GEMM's
+    epilogue: the v5e trace shows the LN-feeding transformer GEMMs emitting a
+    second f32[B,S] output and dropping to 101-114 TF/s while their clean
+    twins run at 170-177 (scripts/analyze_trace.py breakdown). The barrier
+    forces the stats into a separate memory-bound pass over the activation
+    (~13us per 10.5MB tensor) to keep ~23ms of GEMMs at full rate."""
+    return layer_norm(jax.lax.optimization_barrier(x), gamma, beta, eps=eps)
 
 
 # ---------------------------------------------------------------------------

@@ -175,3 +175,30 @@ def test_group_norm_onepass_matches_two_pass():
     a2 = group_norm_onepass(xb, g, b, num_groups=8)
     np.testing.assert_allclose(np.asarray(a1, np.float32),
                                np.asarray(a2, np.float32), atol=2e-2)
+
+
+def test_barrier_variants_identical():
+    """The 'barrier' norm variants only insert an optimization barrier — the
+    numerics must be BIT-identical to their base impls (they stay inside the
+    1e-3 exact path, unlike turbo)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stabletriton_tpu.ops.reference import (
+        group_norm_barrier,
+        group_norm_onepass,
+        layer_norm,
+        layer_norm_barrier,
+    )
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64), dtype=np.float32))
+    g = jnp.asarray(rng.standard_normal(64, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(64, dtype=np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(group_norm_barrier(x, g, b, num_groups=8, act="silu")),
+        np.asarray(group_norm_onepass(x, g, b, num_groups=8, act="silu")))
+    x2 = jnp.asarray(rng.standard_normal((2, 16, 64), dtype=np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(layer_norm_barrier(x2, g, b)),
+        np.asarray(layer_norm(x2, g, b)))
