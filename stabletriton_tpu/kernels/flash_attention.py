@@ -54,6 +54,29 @@ from stabletriton_tpu.ops.registry import register
 LANES = 128
 VMEM_BUDGET = 10 << 20  # leave headroom under the ~16MB scoped limit
 LOG2E = 1.4426950408889634  # softmax in base 2: fold log2(e) into q-prescale
+# Shift-free softmax: softmax is shift-invariant, so the row-max subtraction
+# only exists to keep exp in range. In f32 base-2 that guard is an upper clip
+# at 80 (2^80 per term, <=2^93 summed over 8K keys — far below f32 overflow;
+# any real attention row with a base-2 logit above 80 is already degenerate).
+# Dropping the max deletes a whole VPU read-pass over the (block_q, block_k)
+# score matrix per program — the measured bottleneck of the single-KV kernels
+# (125us/call at SDXL S=1024 vs a ~30us compute floor). The -1e30 padding
+# mask still maps to exp2(-1e30) == 0 exactly. ST_SOFTMAX_MAXSUB=1 restores
+# the max-subtracting form (A/B / paranoia escape hatch).
+SOFTMAX_CLIP = 80.0
+
+
+def _maxsub() -> bool:
+    import os
+
+    return os.environ.get("ST_SOFTMAX_MAXSUB", "") not in ("", "0")
+
+
+def _plain_softmax_num(s):
+    """exp2 numerator of the shift-free (or max-subtracting) softmax."""
+    if _maxsub():
+        return jnp.exp2(s - jnp.max(s, axis=1, keepdims=True))
+    return jnp.exp2(jnp.minimum(s, SOFTMAX_CLIP))
 
 
 def _flash_kernel(
@@ -81,20 +104,33 @@ def _flash_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
 
-    m_prev = m_ref[...]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-    alpha = jnp.exp2(m_prev - m_next)
-    p = jnp.exp2(s - m_next[:, :1])
+    if _maxsub():
+        m_prev = m_ref[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
 
-    l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
-        jnp.sum(p, axis=1, keepdims=True), m_prev.shape
-    )
-    m_ref[...] = m_next
-    acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), m_prev.shape
+        )
+        m_ref[...] = m_next
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        # shift-free: the clip makes the accumulators range-safe (<= 2^93
+        # over 8K keys), so the entire running-max/rescale machinery of
+        # "online" softmax disappears — plain sums across kv blocks
+        p = jnp.exp2(jnp.minimum(s, SOFTMAX_CLIP))
+        l_ref[...] = l_ref[...] + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        )
+        acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
@@ -116,8 +152,7 @@ def _single_kv_kernel(q_ref, k_ref, v_ref, *o_refs, kv_len):
         )
         if kv_len != block_k:
             s = jnp.where(col < kv_len, s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp2(s - m)
+        p = _plain_softmax_num(s)
         l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, :, i, :], (((1,), (0,)), ((), ())),
@@ -136,8 +171,7 @@ def _single_kv_kernel_bh(q_ref, k_ref, v_ref, o_ref, *, kv_len):
     if kv_len != k_ref.shape[1]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp2(s - m)
+    p = _plain_softmax_num(s)
     l = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -172,8 +206,7 @@ def _packed_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, head_dim,
         )
         if kv_len != block_k:
             s = jnp.where(col < kv_len, s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp2(s - m)
+        p = _plain_softmax_num(s)
         l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
@@ -215,7 +248,8 @@ def _packed_flash_kernel(
         col = (jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], block_k), 1)
                + kv_idx * block_k)
 
-    m_prev = m_ref[...]
+    maxsub = _maxsub()
+    m_prev = m_ref[...] if maxsub else None
     alphas, m_news, p_sums, os = [], [], [], []
     for i in range(pack):
         sl = slice(i * head_dim, (i + 1) * head_dim)
@@ -225,24 +259,32 @@ def _packed_flash_kernel(
         )
         if kv_len % block_k != 0:
             s = jnp.where(col < kv_len, s, NEG_INF)
-        m_p = m_prev[:, sl]                               # (bq, d) broadcast
-        m_c = jnp.max(s, axis=1, keepdims=True)           # (bq, 1)
-        m_n = jnp.maximum(m_p, jnp.broadcast_to(m_c, m_p.shape))
-        p = jnp.exp2(s - m_n[:, :1])
-        alphas.append(jnp.exp2(m_p - m_n))
-        m_news.append(m_n)
+        if maxsub:
+            m_p = m_prev[:, sl]                           # (bq, d) broadcast
+            m_c = jnp.max(s, axis=1, keepdims=True)       # (bq, 1)
+            m_n = jnp.maximum(m_p, jnp.broadcast_to(m_c, m_p.shape))
+            p = jnp.exp2(s - m_n[:, :1])
+            alphas.append(jnp.exp2(m_p - m_n))
+            m_news.append(m_n)
+        else:
+            # shift-free (see SOFTMAX_CLIP): no running max, no rescales
+            p = jnp.exp2(jnp.minimum(s, SOFTMAX_CLIP))
         p_sums.append(jnp.broadcast_to(
-            jnp.sum(p, axis=1, keepdims=True), m_p.shape
+            jnp.sum(p, axis=1, keepdims=True), (q.shape[0], head_dim)
         ))
         os.append(jax.lax.dot_general(
             p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ))
 
-    alpha = jnp.concatenate(alphas, axis=1)               # (bq, LANES)
-    m_ref[...] = jnp.concatenate(m_news, axis=1)
-    l_ref[...] = l_ref[...] * alpha + jnp.concatenate(p_sums, axis=1)
-    acc_ref[...] = acc_ref[...] * alpha + jnp.concatenate(os, axis=1)
+    if maxsub:
+        alpha = jnp.concatenate(alphas, axis=1)           # (bq, LANES)
+        m_ref[...] = jnp.concatenate(m_news, axis=1)
+        l_ref[...] = l_ref[...] * alpha + jnp.concatenate(p_sums, axis=1)
+        acc_ref[...] = acc_ref[...] * alpha + jnp.concatenate(os, axis=1)
+    else:
+        l_ref[...] = l_ref[...] + jnp.concatenate(p_sums, axis=1)
+        acc_ref[...] = acc_ref[...] + jnp.concatenate(os, axis=1)
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():

@@ -229,6 +229,30 @@ def test_fused_attention_ops_dispatch():
     np.testing.assert_allclose(np.asarray(o2), np.asarray(r2), atol=1e-3)
 
 
+def test_shift_free_softmax_matches_maxsub(monkeypatch):
+    """The default shift-free softmax must match the max-subtracting escape
+    hatch (ST_SOFTMAX_MAXSUB=1) — softmax is shift-invariant, the clip at 80
+    base-2 logits never fires at sane scales. Exercised on both the
+    single-KV and online paths, including padded keys."""
+    rng = np.random.default_rng(21)
+    for sq, sk, bq, bk in [(128, 200, 64, 256), (128, 300, 64, 128)]:
+        q = jnp.asarray(rng.standard_normal((1, sq, 128), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((1, sk, 128), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((1, sk, 128), dtype=np.float32))
+        monkeypatch.delenv("ST_SOFTMAX_MAXSUB", raising=False)
+        fast = flash_attention(q, k, v, num_heads=2, block_q=bq, block_k=bk,
+                               variant="packed")
+        monkeypatch.setenv("ST_SOFTMAX_MAXSUB", "1")
+        # new jit signature (env read at trace time): clear to force retrace
+        flash_attention._clear_cache()
+        slow = flash_attention(q, k, v, num_heads=2, block_q=bq, block_k=bk,
+                               variant="packed")
+        flash_attention._clear_cache()
+        monkeypatch.delenv("ST_SOFTMAX_MAXSUB", raising=False)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   atol=1e-5)
+
+
 def test_attention_tuned_variant_pin(monkeypatch):
     """A tuned-table entry with variant='packed' must route the packed kernel
     for its exact shape (numerics must stay at parity either way)."""
