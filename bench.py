@@ -41,6 +41,11 @@ def _build(binding: str, lat: int):
             if item:
                 op, _, bk = item.partition("=")
                 overrides.append((op, bk or "pallas"))
+                if op == "attention" and not bk:
+                    # the fused-projection model dispatches attention_qkv/_kv,
+                    # not bare attention — "attention" means the family
+                    overrides += [("attention_qkv", "pallas"),
+                                  ("attention_kv", "pallas")]
         overrides = tuple(overrides)
         ccfg = CompileConfig(backend="reference", overrides=overrides, dtype="bfloat16")
     elif binding in ("turbo_int8", "turbo_int8_conv", "turbo_int8_ff"):

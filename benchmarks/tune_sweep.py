@@ -20,17 +20,21 @@ def main(extra_shapes):
     from stabletriton_tpu.kernels import autotune
     from stabletriton_tpu.models.unet import (
         sd15_unet_config,
+        sd21_unet_config,
         sdxl_base_unet_config,
+        sdxl_refiner_unet_config,
     )
 
     platform = autotune.platform_tag()
     shapes = set()
     sdxl = sdxl_base_unet_config()
-    sd15 = sd15_unet_config()
     for batch in (1, 2, 4):
         shapes.update(autotune.attention_shapes_for_unet(sdxl, 128, 128, batch))
         shapes.update(autotune.attention_shapes_for_unet(sdxl, 96, 96, batch))
-    shapes.update(autotune.attention_shapes_for_unet(sd15, 64, 64, 2))
+    shapes.update(autotune.attention_shapes_for_unet(sd15_unet_config(), 64, 64, 2))
+    shapes.update(autotune.attention_shapes_for_unet(sd21_unet_config(), 96, 96, 2))
+    shapes.update(
+        autotune.attention_shapes_for_unet(sdxl_refiner_unet_config(), 128, 128, 1))
     shapes.update(extra_shapes)
 
     import os

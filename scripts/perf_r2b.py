@@ -34,8 +34,18 @@ def main():
 
     section("pallas, fused-direct/packed disabled (ST_NO_PACKED_ATTN=1)")
     os.environ["ST_NO_PACKED_ATTN"] = "1"
+    # env flags are read at trace time; the inner jitted entry points cache
+    # by shapes+statics, so a same-process flag flip needs a cache clear
+    from stabletriton_tpu.kernels import flash_attention as fa
+
+    fa.flash_attention._clear_cache()
+    fa.flash_attention_qkv._clear_cache()
+    fa.flash_attention_kv._clear_cache()
     t_np = bench._measure("pallas", lat, steps)
     del os.environ["ST_NO_PACKED_ATTN"]
+    fa.flash_attention._clear_cache()
+    fa.flash_attention_qkv._clear_cache()
+    fa.flash_attention_kv._clear_cache()
     print(json.dumps({"binding": "pallas_nopack", "it_s": round(1 / t_np, 4),
                       "vs_baseline": round(t_ref / t_np, 4)}), flush=True)
 

@@ -146,8 +146,7 @@ def attention_variants(sq: int, sk: int, h: int, d: int) -> list[str | None]:
     head-loop layout whose d-wide slices waste half the lanes)."""
     from stabletriton_tpu.kernels import flash_attention as fa
 
-    pack = fa.LANES // d if (d <= fa.LANES and fa.LANES % d == 0) else 1
-    can_pack = pack > 1 and h % pack == 0
+    can_pack = fa.pack_factor(h, d) > 1
     if sk <= fa.LANES:
         return ["allheads", "packed"] if can_pack else ["allheads"]
     return ["bh", "packed"] if can_pack else ["bh"]
@@ -248,8 +247,7 @@ def tune_attention_fused(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
             return core  # chains through q: (B,Sq,C)->(B,Sq,C)
 
     best = None
-    pack = fa.LANES // d if (d <= fa.LANES and fa.LANES % d == 0) else 1
-    if pack > 1 and h % pack == 0:
+    if fa.pack_factor(h, d) > 1:
         for bq, bk in attention_candidates(sq, sk, h, d,
                                            jnp.dtype(dtype).itemsize):
             try:

@@ -86,6 +86,7 @@ def _flash_kernel(
     *,
     kv_len: int,
     block_k: int,
+    mask_kv: bool,
 ):
     kv_idx = pl.program_id(2)
 
@@ -100,7 +101,7 @@ def _flash_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if kv_len % block_k != 0:
+    if mask_kv:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
 
@@ -158,7 +159,7 @@ def _single_kv_kernel(q_ref, k_ref, v_ref, *o_refs, kv_len):
             p.astype(v_ref.dtype), v_ref[0, :, i, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_refs[i][0] = (o / l).astype(o_refs[i].dtype)
+        o_refs[i][0] = (o / l.clip(1e-30)).astype(o_refs[i].dtype)
 
 
 def _single_kv_kernel_bh(q_ref, k_ref, v_ref, o_ref, *, kv_len):
@@ -177,7 +178,7 @@ def _single_kv_kernel_bh(q_ref, k_ref, v_ref, o_ref, *, kv_len):
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = (o / l).astype(o_ref.dtype)
+    o_ref[0] = (o / l.clip(1e-30)).astype(o_ref.dtype)
 
 
 def _packed_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, head_dim,
@@ -212,7 +213,7 @@ def _packed_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, head_dim,
             p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        outs.append(o / l)
+        outs.append(o / l.clip(1e-30))
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
@@ -224,6 +225,7 @@ def _packed_flash_kernel(
     kv_len: int,
     block_k: int,
     head_dim: int,
+    mask_kv: bool = True,
     q_scale=None,
 ):
     """Head-packed online-softmax kernel (channel-packed layout, kv-innermost
@@ -244,7 +246,7 @@ def _packed_flash_kernel(
     k = k_ref[0]
     v = v_ref[0]
     pack = q.shape[1] // head_dim
-    if kv_len % block_k != 0:
+    if mask_kv:
         col = (jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], block_k), 1)
                + kv_idx * block_k)
 
@@ -257,7 +259,7 @@ def _packed_flash_kernel(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if kv_len % block_k != 0:
+        if mask_kv:
             s = jnp.where(col < kv_len, s, NEG_INF)
         if maxsub:
             m_p = m_prev[:, sl]                           # (bq, d) broadcast
@@ -291,6 +293,15 @@ def _packed_flash_kernel(
         o_ref[0] = (acc_ref[...] / l_ref[...].clip(1e-30)).astype(o_ref.dtype)
 
 
+def pack_factor(h: int, d: int) -> int:
+    """Whole heads per 128-lane block for the head-packed kernels; 1 means
+    the layout can't pack (d does not divide 128, or the head count is not
+    a multiple of the pack). THE single source of packing eligibility —
+    routing, the fused entry points, and the autotuner all consult it."""
+    pack = LANES // d if (d <= LANES and LANES % d == 0) else 1
+    return pack if pack > 1 and h % pack == 0 else 1
+
+
 def _attn_layout(sk: int, h: int, d: int,
                  variant: str | None = None) -> tuple[str, int]:
     """Kernel routing: ('allheads', h) for tiny-KV cross-attention;
@@ -307,11 +318,10 @@ def _attn_layout(sk: int, h: int, d: int,
     the defaults regardless (escape hatch)."""
     import os
 
-    pack = LANES // d if (d <= LANES and LANES % d == 0) else 1
-    can_pack = pack > 1 and h % pack == 0
+    pack = pack_factor(h, d)
     if os.environ.get("ST_NO_PACKED_ATTN", "") not in ("", "0"):
         variant = None
-    if variant == "packed" and can_pack:
+    if variant == "packed" and pack > 1:
         return "packed", pack
     if sk <= LANES:
         return "allheads", h
@@ -493,7 +503,8 @@ def flash_attention(
         else:
             out = pl.pallas_call(
                 functools.partial(
-                    _packed_flash_kernel, kv_len=sk, block_k=block_k, head_dim=d
+                    _packed_flash_kernel, kv_len=sk, block_k=block_k,
+                    head_dim=d, mask_kv=sk_p != sk,
                 ),
                 grid=(b * groups, sq_p // block_q, sk_p // block_k),
                 in_specs=[
@@ -551,7 +562,7 @@ def flash_attention(
     else:
         out = pl.pallas_call(
             functools.partial(
-                _flash_kernel, kv_len=sk, block_k=block_k
+                _flash_kernel, kv_len=sk, block_k=block_k, mask_kv=sk_p != sk
             ),
             grid=(b * h, sq_p // block_q, sk_p // block_k),
             in_specs=[
@@ -600,8 +611,22 @@ def _can_pack(c: int, h: int, d: int) -> bool:
 
     if os.environ.get("ST_NO_PACKED_ATTN", "") not in ("", "0"):
         return False
-    pack = LANES // d if (d <= LANES and LANES % d == 0) else 1
-    return c % LANES == 0 and pack > 1 and h % pack == 0
+    return c % LANES == 0 and pack_factor(h, d) > 1
+
+
+def _compat_blocks(bq: int, bk: int) -> tuple[int, int]:
+    """q and kv rows share ONE padded seq in the fused entry points, so the
+    pad is a common multiple of both blocks. Force one block to divide the
+    other (shrinking bq to the largest power of two dividing bk if needed):
+    otherwise the lcm pad explodes — e.g. clamped bq=576 with bk=512 pads
+    the sequence 8x and every fused candidate loses by default."""
+    lo, hi = min(bq, bk), max(bq, bk)
+    if hi % lo == 0:
+        return bq, bk
+    p = 1
+    while p * 2 <= bq and bk % (p * 2) == 0:
+        p *= 2
+    return p, bk
 
 
 @functools.partial(
@@ -653,8 +678,9 @@ def flash_attention_qkv(
         block_q, block_k = block_q or auto_q, block_k or auto_k
     block_q = min(block_q, round_up(s, 8))
     block_k = min(block_k, round_up(s, LANES))
+    block_q, block_k = _compat_blocks(block_q, block_k)
     # q and kv rows come from the same (padded) seq dim: pad once to a
-    # common multiple of both block sizes (powers of two -> the max)
+    # common multiple of both block sizes (= the max, after _compat_blocks)
     lcm = int(np.lcm(block_q, block_k))
     s_p = round_up(s, lcm)
     x = jnp.pad(qkv, ((0, 0), (0, s_p - s), (0, 0))) if s_p != s else qkv
@@ -688,7 +714,7 @@ def flash_attention_qkv(
     else:
         out = pl.pallas_call(
             functools.partial(_packed_flash_kernel, kv_len=s, block_k=block_k,
-                              head_dim=d, q_scale=q_scale),
+                              head_dim=d, mask_kv=s_p != s, q_scale=q_scale),
             grid=(b * groups, s_p // block_q, s_p // block_k),
             in_specs=[
                 pl.BlockSpec((1, block_q, LANES),
@@ -798,7 +824,7 @@ def flash_attention_kv(
     else:
         out = pl.pallas_call(
             functools.partial(_packed_flash_kernel, kv_len=sk, block_k=block_k,
-                              head_dim=d, q_scale=q_scale),
+                              head_dim=d, mask_kv=sk_p != sk, q_scale=q_scale),
             grid=(b * groups, sq_p // block_q, sk_p // block_k),
             in_specs=[
                 pl.BlockSpec((1, block_q, LANES),

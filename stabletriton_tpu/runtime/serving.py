@@ -65,7 +65,15 @@ class ServingEngine:
 
             data = pipeline.mesh.shape[mesh_mod.DATA_AXIS]
         self._buckets = tuple(b * data for b in _BUCKETS)
-        self.max_batch = max(max_batch, self._buckets[0])
+        if max_batch < self._buckets[0]:
+            # never silently exceed a caller's memory/latency cap: a sharded
+            # pipeline cannot run batches below the data-axis multiple
+            raise ValueError(
+                f"max_batch={max_batch} is below the smallest mesh-compatible "
+                f"bucket {self._buckets[0]} (data axis {data}); raise "
+                f"max_batch or use a smaller data axis"
+            )
+        self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self._q: "queue.Queue[tuple[Request, Future] | None]" = queue.Queue()
         self._thread = threading.Thread(target=self._worker, daemon=True)

@@ -213,6 +213,33 @@ def test_flash_attention_kv_parity(b, h, sq, sk, d, block_q, block_k):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
 
 
+def test_fused_qkv_lcm_pad_masks_kv():
+    """Regression: when block_q > block_k pads the shared seq beyond a
+    block_k multiple (s=1536, bq=1024, bk=512 -> s_p=2048), the padded KV
+    block must be masked even though s %% block_k == 0 — the old
+    kv_len %% block_k condition skipped it and corrupted every softmax
+    denominator by a full block of exp2(0)=1 terms (max err 0.034)."""
+    rng = np.random.default_rng(31)
+    s = 1536
+    qkv = jnp.asarray(rng.standard_normal((1, s, 3 * 2 * 64), dtype=np.float32))
+    out = flash_attention_qkv(qkv, num_heads=2, block_q=1024, block_k=512)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ref = ops.attention(q, k, v, num_heads=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_fused_qkv_compat_blocks_keep_pad_small():
+    """Non-dividing block pairs (clamped bq=576 with bk=512) must not
+    explode the shared pad by lcm; _compat_blocks shrinks bq so one block
+    divides the other."""
+    from stabletriton_tpu.kernels.flash_attention import _compat_blocks
+
+    assert _compat_blocks(576, 512) == (512, 512)
+    assert _compat_blocks(1024, 2304) == (256, 2304)
+    assert _compat_blocks(256, 1024) == (256, 1024)   # already dividing
+    assert _compat_blocks(1024, 512) == (1024, 512)   # already dividing
+
+
 def test_fused_attention_ops_dispatch():
     """ops.attention_qkv/_kv under the pallas binding match the reference
     binding (the compile-level contract the UNet relies on)."""

@@ -72,6 +72,20 @@ def test_error_propagates():
         eng.close()
 
 
+def test_meshed_engine_rejects_incompatible_max_batch():
+    """A caller's max_batch cap must never be silently exceeded: below the
+    smallest mesh-compatible bucket it is an explicit error."""
+    import jax
+    import pytest
+
+    from stabletriton_tpu.runtime import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    pipe = make_tiny_pipeline(mesh=mesh)
+    with pytest.raises(ValueError, match="max_batch"):
+        ServingEngine(pipe, IdentityTok(), IdentityTok(), max_batch=2)
+
+
 def test_meshed_engine_buckets_and_serves():
     """A sharded pipeline serves through the engine: bucket sizes snap to
     multiples of the data axis so batches shard evenly across ICI."""
