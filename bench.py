@@ -48,11 +48,14 @@ def _build(binding: str, lat: int):
                                   ("attention_kv", "pallas")]
         overrides = tuple(overrides)
         ccfg = CompileConfig(backend="reference", overrides=overrides, dtype="bfloat16")
-    elif binding in ("turbo_int8", "turbo_int8_conv", "turbo_int8_ff"):
+    elif binding.startswith("turbo_"):
         # opt-in draft mode: pallas kernels + W8A8 linears (+convs for the
-        # _conv variant); separately reported, outside the 1e-3 fidelity gate
+        # _conv variant); separately reported, outside the 1e-3 fidelity
+        # gate. "+gnbf16" composes the bf16-apply GroupNorm draft variant.
+        parts = binding[len("turbo_"):].split("+")
+        ovr = (("group_norm", "bf16apply"),) if "gnbf16" in parts[1:] else ()
         ccfg = CompileConfig(backend="pallas", dtype="bfloat16",
-                             quantize=binding[len("turbo_"):])
+                             quantize=parts[0], overrides=ovr)
     else:
         ccfg = CompileConfig(backend=binding, dtype="bfloat16")
     fn = compile_unet(cfg, ccfg)

@@ -78,6 +78,13 @@ def resolve_binding(config: CompileConfig) -> dict[str, str]:
         for op in PALLAS_OPS:
             if "pallas" in registered.get(op, []):
                 binding[op] = "pallas"
+        # measured default variants (see benchmarks/NOTES.md): bf16-apply GN
+        # is +0.28 it/s at the step level; its full-UNet deviation vs the
+        # stock binding (MSE 1.1e-4, max 0.047) sits at the default path's
+        # own bf16 noise floor (7.6e-5 / 0.043) — far inside the MSE<1e-3
+        # fidelity gate. Override (("group_norm", "reference"),) restores
+        # the f32-apply form.
+        binding["group_norm"] = "bf16apply"
     if config.quantize in ("int8", "int8_ff"):
         binding["linear"] = "int8"
     elif config.quantize == "int8_conv":

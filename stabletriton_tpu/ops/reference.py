@@ -131,6 +131,38 @@ def group_norm(
     return apply_activation(out, act).astype(x.dtype)
 
 
+@register("group_norm", "bf16apply")
+def group_norm_bf16apply(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    act: str | None = None,
+):
+    """GroupNorm with f32 moments but the normalize+activation applied in the
+    input dtype (bf16 on the turbo path): ~2x VPU rate and half the traffic
+    for the apply pass. Outside the strict 1e-3 elementwise kernel contract
+    (bf16 rounding ~0.4% relative on the normalized values) — draft/turbo
+    binding only, like the int8 linears."""
+    n, h, w, c = x.shape
+    assert c % num_groups == 0, (c, num_groups)
+    per = c // num_groups
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 2))
+    cnt = h * w * per
+    mean = s1.reshape(n, num_groups, per).sum(-1) / cnt
+    ex2 = s2.reshape(n, num_groups, per).sum(-1) / cnt
+    rstd = jax.lax.rsqrt(jnp.maximum(ex2 - jnp.square(mean), 0.0) + eps)
+    scale = jnp.repeat(rstd, per, axis=1) * gamma.astype(jnp.float32)
+    shift = beta.astype(jnp.float32) - jnp.repeat(mean, per, axis=1) * scale
+    out = (x * scale[:, None, None, :].astype(x.dtype)
+           + shift[:, None, None, :].astype(x.dtype))
+    return apply_activation(out, act).astype(x.dtype)
+
+
 @register("group_norm", "barrier")
 def group_norm_barrier(
     x: jax.Array,

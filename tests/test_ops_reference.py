@@ -177,6 +177,26 @@ def test_group_norm_onepass_matches_two_pass():
                                np.asarray(a2, np.float32), atol=2e-2)
 
 
+def test_group_norm_bf16apply_close():
+    """The turbo bf16-apply GN stays close to the f32 reference (draft-mode
+    bound, looser than the 1e-3 exact contract)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stabletriton_tpu.ops.reference import group_norm, group_norm_bf16apply
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64), dtype=np.float32) * 2
+                    ).astype(jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal(64, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(64, dtype=np.float32))
+    a1 = group_norm(x, g, b, num_groups=8, act="silu")
+    a2 = group_norm_bf16apply(x, g, b, num_groups=8, act="silu")
+    np.testing.assert_allclose(np.asarray(a1, np.float32),
+                               np.asarray(a2, np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
 def test_barrier_variants_identical():
     """The 'barrier' norm variants only insert an optimization barrier — the
     numerics must be BIT-identical to their base impls (they stay inside the
