@@ -16,7 +16,6 @@ steps, default 12), BENCH_SOLO=reference|pallas to run a single binding.
 
 import json
 import os
-import time
 
 import numpy as np
 
@@ -92,27 +91,24 @@ def _measure(binding: str, lat: int, steps: int) -> float:
     dispatch+readback overhead. block_until_ready alone does NOT reliably
     fence on this platform.
     """
+    from stabletriton_tpu.runtime.profiling import bench_fn
+
     fn, params, args = _build(binding, lat)
-    sample = args[0]
 
-    # warm-up: compile + steady state (the reference's "first generation")
-    out = fn(params, sample, *args[1:])
-    for _ in range(2):
-        out = fn(params, out, *args[1:])
-    _ = np.asarray(out[0, 0, 0])  # force completion
-
-    def chain(n):
-        o = out
-        t0 = time.perf_counter()
-        for _ in range(n):
-            o = fn(params, o, *args[1:])
-        _ = np.asarray(o[0, 0, 0])
-        return time.perf_counter() - t0
-
-    n_short = max(2, steps // 4)
-    t_short = chain(n_short)
-    t_long = chain(steps)
-    return (t_long - t_short) / (steps - n_short)
+    # warm-up: compile + steady state (the reference's "first generation");
+    # bench_fn then chains the sample through repeated calls and returns the
+    # min-over-reps two-length slope (cancels dispatch/readback overhead and
+    # one-sided tunnel jitter — a single-chain slope swings several percent
+    # run to run, see benchmarks/NOTES.md).
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    return bench_fn(
+        lambda s: fn(params, s, *args[1:]),
+        args[0],
+        chain_arg=0,
+        n_short=max(2, steps // 4),
+        n_long=steps,
+        reps=reps,
+    )
 
 
 def main():

@@ -237,6 +237,30 @@ def layer_norm(
     return out.astype(x.dtype)
 
 
+@register("layer_norm", "bf16apply")
+def layer_norm_bf16apply(
+    x: jax.Array,
+    gamma: jax.Array | None,
+    beta: jax.Array | None,
+    *,
+    eps: float = 1e-5,
+):
+    """LayerNorm with f32 moments but the normalize+affine applied in the
+    input dtype — same rationale and fidelity argument as group_norm
+    'bf16apply' (2x VPU rate / half the traffic on the apply pass; exact on
+    f32 inputs, ~0.4% relative rounding on bf16)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    out = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
+    if gamma is not None:
+        out = out * gamma.astype(x.dtype)
+    if beta is not None:
+        out = out + beta.astype(x.dtype)
+    return out
+
+
 @register("layer_norm", "barrier")
 def layer_norm_barrier(
     x: jax.Array,

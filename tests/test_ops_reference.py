@@ -197,6 +197,27 @@ def test_group_norm_bf16apply_close():
                                atol=5e-2, rtol=5e-2)
 
 
+def test_layer_norm_bf16apply_close():
+    """bf16-apply LN stays close to the f32 reference (draft-mode bound) and
+    is exact on f32 inputs (the per-kernel f32 parity contract)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stabletriton_tpu.ops.reference import layer_norm, layer_norm_bf16apply
+
+    rng = np.random.default_rng(6)
+    xf = jnp.asarray(rng.standard_normal((2, 64, 96), dtype=np.float32) * 2)
+    g = jnp.asarray(rng.standard_normal(96, dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(96, dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(layer_norm(xf, g, b)),
+                               np.asarray(layer_norm_bf16apply(xf, g, b)),
+                               atol=1e-5, rtol=1e-5)
+    xb = xf.astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(layer_norm(xb, g, b), np.float32),
+                               np.asarray(layer_norm_bf16apply(xb, g, b), np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
 def test_barrier_variants_identical():
     """The 'barrier' norm variants only insert an optimization barrier — the
     numerics must be BIT-identical to their base impls (they stay inside the
