@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from stabletriton_tpu import ops
-from stabletriton_tpu.models.unet import UNetConfig, unet_apply
+from stabletriton_tpu.models.unet import (
+    UNetConfig,
+    precompute_cross_kv,
+    precompute_time_cond,
+    unet_apply,
+)
 
 # The default fused-op set is *measured*, not aspirational — exactly how the
 # reference curated its pass list (it disabled replace_linear after measuring
@@ -47,10 +52,57 @@ class CompileConfig:
     # 1e-3 fidelity gate by design; report its numbers separately.
     quantize: str | None = None
     quantize_min_dim: int = 256  # smallest weight dim worth quantizing
+    # hoist the cross-attention K/V projections out of the denoise loop
+    # (precompute_cross_kv): numerically identical, saves ~680 MB/step of
+    # loop-invariant weight traffic. Off => recompute per step (A/B).
+    cache_cross_kv: bool = True
+    # batch the per-step time-conditioning projections over all steps before
+    # the loop (precompute_time_cond): same numbers, ~50 MB/step of weight
+    # re-reads + ~27 tiny GEMM dispatches hoisted. Measured step-level A/B
+    # (benchmarks/NOTES.md round-3 log): kv-only 8.822 it/s vs kv+tc 8.795 —
+    # the hoist does NOT pay at the step level (the tiny GEMMs overlap fine;
+    # the (T,B,C) scan-xs slices add their own traffic), so it stays opt-in.
+    cache_time_cond: bool = False
 
     @property
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
+
+
+_cache_enabled: str | None = None
+
+
+def enable_persistent_compile_cache(path: str | None = None) -> str:
+    """Persist XLA executables to disk so recompiles are warm across processes.
+
+    The reference pays its (re)capture/autotune cost once per *process*
+    (CUDA-graph cache + Triton autotune cache are in-memory,
+    ``optimizers/cuda/graphs.py:193-209``); XLA's persistent compilation
+    cache carries the compiled program across processes too — the second
+    process with the same (topology, program) signature deserializes instead
+    of recompiling, which on a tunneled TPU turns minutes of compile into
+    sub-second loads. Safe to call repeatedly; honors ``ST_TPU_CACHE_DIR``
+    when ``path`` is None (default ``~/.cache/stabletriton_tpu/xla``).
+
+    Returns the cache directory in use.
+    """
+    global _cache_enabled
+    import os
+
+    if path is None:
+        path = os.environ.get(
+            "ST_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "stabletriton_tpu", "xla"),
+        )
+    if _cache_enabled == path:
+        return path
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything that took XLA real work; tiny programs stay uncached
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _cache_enabled = path
+    return path
 
 
 def resolve_binding(config: CompileConfig) -> dict[str, str]:
@@ -83,8 +135,11 @@ def resolve_binding(config: CompileConfig) -> dict[str, str]:
         # stock binding (MSE 1.1e-4, max 0.047) sits at the default path's
         # own bf16 noise floor (7.6e-5 / 0.043) — far inside the MSE<1e-3
         # fidelity gate. Override (("group_norm", "reference"),) restores
-        # the f32-apply form.
+        # the f32-apply form. Round-3: bf16-apply LN joins on the same
+        # evidence (step 8.865 vs 8.831; full-UNet MSE 1.14e-4 / max 0.057
+        # vs the default's own 1.09e-4 / 0.047 floor).
         binding["group_norm"] = "bf16apply"
+        binding["layer_norm"] = "bf16apply"
     if config.quantize in ("int8", "int8_ff"):
         binding["linear"] = "int8"
     elif config.quantize == "int8_conv":
@@ -121,6 +176,59 @@ def compile_unet(
 
     donate = (1,) if config.donate_sample else ()
     return jax.jit(step, donate_argnums=donate)
+
+
+def compile_unet_kv(
+    unet_config: UNetConfig,
+    config: CompileConfig = CompileConfig(),
+):
+    """compile_unet with the hoisted-conditioning caches split out.
+
+    Returns ``(precompute, precompute_time, step)``:
+
+      precompute(params, encoder_hidden_states) -> cross_kv
+      precompute_time(params, timesteps, text_embeds, time_ids) -> time_cond
+          (leaves are (T, B, C); slice step i before calling step)
+      step(params, sample, t, cross_kv, text_embeds, time_ids,
+           time_cond=None) -> eps
+
+    The text conditioning is constant across every denoise step, so its K/V
+    projections are loop-invariant, and the time-conditioning projections
+    batch over all T steps at once; ``precompute*`` run once per generation
+    and ``step`` consumes the caches instead of re-reading ~730 MB of
+    projection weights per step (SDXL-base). Numerically identical to
+    ``compile_unet`` — the same ops on the same dtype-cast inputs, just
+    hoisted. The pipeline's scan loop and the headline bench both use this
+    form; ``compile_unet`` remains the single-call drop-in surface.
+    """
+    binding = resolve_binding(config)
+    dtype = config.jnp_dtype
+
+    def precompute(params, encoder_hidden_states):
+        with ops.use_backends(binding):
+            return precompute_cross_kv(
+                unet_config, params, encoder_hidden_states.astype(dtype)
+            )
+
+    def precompute_time(params, timesteps, text_embeds, time_ids):
+        with ops.use_backends(binding):
+            return precompute_time_cond(
+                unet_config, params, timesteps, text_embeds, time_ids,
+                dtype=dtype,
+            )
+
+    def step(params, sample, timesteps, cross_kv, text_embeds, time_ids,
+             time_cond=None):
+        with ops.use_backends(binding):
+            return unet_apply(
+                unet_config, params, sample.astype(dtype), timesteps,
+                None, text_embeds, time_ids, cross_kv=cross_kv,
+                time_cond=time_cond,
+            )
+
+    donate = (1,) if config.donate_sample else ()
+    return (jax.jit(precompute), jax.jit(precompute_time),
+            jax.jit(step, donate_argnums=donate))
 
 
 def cast_params(params, config: CompileConfig):

@@ -337,21 +337,24 @@ def init_unet_params(
 # ---------------------------------------------------------------------------
 
 
-def _resnet(p, key: str, x, temb, cfg: UNetConfig):
+def _resnet(p, key: str, x, temb, cfg: UNetConfig, emb=None):
     """ResnetBlock2D: GN+SiLU -> conv -> +time -> GN+SiLU -> conv -> +skip.
 
     Fusion targets per reference ``optimizations.txt`` (ResNet section): the
     GroupNorm+SiLU pairs are single fused ops here; conv carries bias (and the
     shortcut add fuses into conv2's epilogue via the conv2d op's residual arg).
+    ``emb`` (optional): this resnet's time_emb_proj output precomputed for all
+    steps at once (``precompute_time_cond``) — skips the per-step GEMM.
     """
     h = ops.group_norm(
         x, p[f"{key}.norm1.weight"], p[f"{key}.norm1.bias"],
         num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, act="silu",
     )
     h = ops.conv2d(h, p[f"{key}.conv1.weight"], p[f"{key}.conv1.bias"])
-    emb = ops.linear(
-        jax.nn.silu(temb), p[f"{key}.time_emb_proj.weight"], p[f"{key}.time_emb_proj.bias"]
-    )
+    if emb is None:
+        emb = ops.linear(
+            jax.nn.silu(temb), p[f"{key}.time_emb_proj.weight"], p[f"{key}.time_emb_proj.bias"]
+        )
     h = h + emb[:, None, None, :].astype(h.dtype)
     h = ops.group_norm(
         h, p[f"{key}.norm2.weight"], p[f"{key}.norm2.bias"],
@@ -367,14 +370,27 @@ def _resnet(p, key: str, x, temb, cfg: UNetConfig):
     return ops.conv2d(h, p[f"{key}.conv2.weight"], p[f"{key}.conv2.bias"], residual=skip)
 
 
-def _attention_layer(p, key: str, x, context, num_heads: int):
+def _attention_layer(p, key: str, x, context, num_heads: int, cached_kv=None):
     """Multi-head attention (self if context is x). Maps to the fused flash
     kernel via ops.attention — the analog of the reference's fuse_attention
     pass (``replace_attention.py:76-92``). Operands stay channel-packed
     (B, S, H*D). Detects fused projection weights when present
     (compile.fuse_attention_projections): one wide qkv/kv dot instead of
-    three/two narrow ones — the reference's planned-but-unwired QKV fusion."""
-    if f"{key}.to_qkv.weight" in p:
+    three/two narrow ones — the reference's planned-but-unwired QKV fusion.
+
+    ``cached_kv`` short-circuits the context K/V projections with values
+    precomputed once per generation (``precompute_cross_kv``): the text
+    conditioning is constant across every denoise step, so re-projecting it
+    per step only re-reads ~680 MB of K/V projection weights. A fused
+    (B, Sk, 2C) array or a (k, v) tuple, matching what the projections here
+    would produce bit-for-bit."""
+    if cached_kv is not None:
+        q = ops.linear(x, p[f"{key}.to_q.weight"])
+        if isinstance(cached_kv, tuple):
+            out = ops.attention(q, *cached_kv, num_heads=num_heads)
+        else:
+            out = ops.attention_kv(q, cached_kv, num_heads=num_heads)
+    elif f"{key}.to_qkv.weight" in p:
         # fused-operand op: the pallas backend reads q/k/v lane-chunks of the
         # projection output in-kernel (no slice copies); the reference
         # backend splits — identical HLO to slicing here
@@ -405,16 +421,22 @@ def _feed_forward(p, key: str, x):
     return ops.linear(h, p[f"{key}.net.2.weight"], p[f"{key}.net.2.bias"])
 
 
-def _transformer_block(p, key: str, x, context, num_heads: int, eps: float):
+def _transformer_block(p, key: str, x, context, num_heads: int, eps: float,
+                       cross_kv=None):
     h = ops.layer_norm(x, p[f"{key}.norm1.weight"], p[f"{key}.norm1.bias"], eps=eps)
     x = x + _attention_layer(p, f"{key}.attn1", h, h, num_heads)
     h = ops.layer_norm(x, p[f"{key}.norm2.weight"], p[f"{key}.norm2.bias"], eps=eps)
-    x = x + _attention_layer(p, f"{key}.attn2", h, context, num_heads)
+    cached = None if cross_kv is None else cross_kv.get(f"{key}.attn2")
+    if cached is None and context is None:
+        raise KeyError(f"cross_kv is missing {key}.attn2 and no context given")
+    x = x + _attention_layer(p, f"{key}.attn2", h, context, num_heads,
+                             cached_kv=cached)
     h = ops.layer_norm(x, p[f"{key}.norm3.weight"], p[f"{key}.norm3.bias"], eps=eps)
     return x + _feed_forward(p, f"{key}.ff", h)
 
 
-def _transformer2d(p, key: str, x, context, cfg: UNetConfig, layers: int):
+def _transformer2d(p, key: str, x, context, cfg: UNetConfig, layers: int,
+                   cross_kv=None):
     """Transformer2DModel with linear projections (SDXL uses use_linear_projection)."""
     n, h, w, c = x.shape
     num_heads = cfg.num_heads(c)
@@ -428,7 +450,7 @@ def _transformer2d(p, key: str, x, context, cfg: UNetConfig, layers: int):
     for k in range(layers):
         hs = _transformer_block(
             p, f"{key}.transformer_blocks.{k}", hs, context, num_heads,
-            cfg.transformer_norm_eps,
+            cfg.transformer_norm_eps, cross_kv=cross_kv,
         )
     hs = ops.linear(hs, p[f"{key}.proj_out.weight"], p[f"{key}.proj_out.bias"])
     return hs.reshape(n, h, w, c) + residual
@@ -446,30 +468,13 @@ def _upsample(p, key: str, x):
     return ops.conv2d(x, p[f"{key}.conv.weight"], p[f"{key}.conv.bias"])
 
 
-def unet_apply(
-    cfg: UNetConfig,
-    params: dict[str, jax.Array],
-    sample: jax.Array,
-    timesteps: jax.Array,
-    encoder_hidden_states: jax.Array,
-    text_embeds: jax.Array,
-    time_ids: jax.Array,
-) -> jax.Array:
-    """One denoising forward pass.
+def _time_embedding(cfg: UNetConfig, p, timesteps, text_embeds, time_ids, dtype):
+    """Time + added (text_time) conditioning -> temb (B, time_embed_dim).
 
-    sample: (B, H, W, C_in) NHWC latents; timesteps: (B,) or scalar;
-    encoder_hidden_states: (B, S, cross_attention_dim); text_embeds: (B, pooled);
-    time_ids: (B, 6). Returns predicted noise, same shape as sample.
-
-    I/O shape contract matches the reference benchmark driver
-    (``implementations/Diffusers/load_unet.py:28-34``) modulo NCHW->NHWC.
-    """
-    p = params
-    dtype = sample.dtype
-    if timesteps.ndim == 0:
-        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
-
-    # --- time + added conditioning (reference unet_pt.py:469-488) ---
+    Reference ``unet_pt.py:469-488``: sinusoidal t embedding through the
+    2-layer time MLP, plus (SDXL) the pooled-text + fourier(time_ids)
+    add_embedding MLP."""
+    batch = timesteps.shape[0]
     temb = ops.time_embed(
         timesteps, dim=cfg.block_out_channels[0],
         flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift,
@@ -491,26 +496,168 @@ def unet_apply(
                 time_ids.reshape(-1), dim=cfg.addition_time_embed_dim,
                 flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift,
             ).astype(dtype)
-            tids = tids.reshape(sample.shape[0], -1)
+            tids = tids.reshape(batch, -1)
             add = jnp.concatenate([text_embeds.astype(dtype), tids], axis=-1)
         add = ops.linear(add, p["add_embedding.linear_1.weight"], p["add_embedding.linear_1.bias"])
         add = ops.linear(
             jax.nn.silu(add), p["add_embedding.linear_2.weight"], p["add_embedding.linear_2.bias"]
         )
         temb = temb + add
+    return temb
 
-    ctx = encoder_hidden_states.astype(dtype)
+
+def resnet_keys(cfg: UNetConfig) -> list[str]:
+    """Every ResnetBlock2D key prefix, in forward order."""
+    out: list[str] = []
+    for i in range(len(cfg.down_block_types)):
+        for j in range(cfg.layers_per_block):
+            out.append(f"down_blocks.{i}.resnets.{j}")
+    out += ["mid_block.resnets.0", "mid_block.resnets.1"]
+    for i in range(len(cfg.up_block_types)):
+        for j in range(cfg.layers_per_block + 1):
+            out.append(f"up_blocks.{i}.resnets.{j}")
+    return out
+
+
+def precompute_time_cond(
+    cfg: UNetConfig,
+    params: dict[str, jax.Array],
+    timesteps: jax.Array,      # (T,) one scalar timestep per denoise step
+    text_embeds: jax.Array,    # (B, pooled) CFG-doubled conditioning
+    time_ids: jax.Array,       # (B, 6)
+    dtype=None,
+) -> dict[str, jax.Array]:
+    """Batch every timestep-conditioned projection over all T steps at once.
+
+    Per step the UNet runs ~27 tiny latency-bound GEMMs off the time embedding
+    (the 2-layer time MLP, the add_embedding MLP, and one (temb_dim, C)
+    ``time_emb_proj`` per resnet, ~50 MB of weights re-read per step for
+    SDXL-base). All of it depends only on (t, text_embeds, time_ids), so one
+    (T*B)-row batch before the scan replaces T repetitions. Returns
+    {resnet_key: (T, B, C)}; slice step i's {resnet_key: (B, C)} into
+    ``unet_apply(time_cond=...)`` (lax.scan's xs slicing does this for free).
+    """
+    if dtype is None:
+        dtype = text_embeds.dtype
+    t_steps = timesteps.shape[0]
+    batch = text_embeds.shape[0]
+    ts_all = jnp.repeat(timesteps, batch)                      # (T*B,)
+    te_all = jnp.tile(text_embeds, (t_steps, 1))
+    tid_all = jnp.tile(time_ids, (t_steps, 1))
+    temb = _time_embedding(cfg, params, ts_all, te_all, tid_all, dtype)
+    s = jax.nn.silu(temb)
+    cache = {}
+    for key in resnet_keys(cfg):
+        emb = ops.linear(
+            s, params[f"{key}.time_emb_proj.weight"], params[f"{key}.time_emb_proj.bias"]
+        )
+        cache[key] = emb.reshape(t_steps, batch, -1)
+    return cache
+
+
+def transformer2d_keys(cfg: UNetConfig) -> list[tuple[str, int]]:
+    """Every Transformer2DModel key prefix and its depth, in forward order."""
+    out: list[tuple[str, int]] = []
+    for i, btype in enumerate(cfg.down_block_types):
+        if btype == "CrossAttnDownBlock2D":
+            for j in range(cfg.layers_per_block):
+                out.append((f"down_blocks.{i}.attentions.{j}",
+                            cfg.transformer_layers_per_block[i]))
+    out.append(("mid_block.attentions.0", cfg.mid_transformer_layers))
+    for i, btype in enumerate(cfg.up_block_types):
+        if btype == "CrossAttnUpBlock2D":
+            depth = tuple(reversed(cfg.transformer_layers_per_block))[i]
+            for j in range(cfg.layers_per_block + 1):
+                out.append((f"up_blocks.{i}.attentions.{j}", depth))
+    return out
+
+
+def precompute_cross_kv(
+    cfg: UNetConfig,
+    params: dict[str, jax.Array],
+    encoder_hidden_states: jax.Array,
+) -> dict[str, jax.Array | tuple[jax.Array, jax.Array]]:
+    """Project the text conditioning through every cross-attention K/V once.
+
+    The encoder hidden states are constant across all denoise steps, so these
+    projections are loop-invariant: hoisting them out of the scan removes
+    ~680 MB/step of K/V weight traffic plus ~70 latency-bound (B*77, ctx_dim)
+    GEMM dispatches (SDXL-base). Values are bit-identical to what
+    ``unet_apply`` computes inline — the same ``ops.linear`` on the same
+    dtype-cast context — so the cached step is numerically exact.
+
+    Returns {"<tf2d key>.transformer_blocks.<k>.attn2": kv} where kv is the
+    fused (B, Sk, 2C) projection when ``fuse_attention_projections`` ran, or
+    a (k, v) tuple for unfused params. Feed to ``unet_apply(cross_kv=...)``.
+    """
+    ctx = encoder_hidden_states
+    cache: dict[str, jax.Array | tuple[jax.Array, jax.Array]] = {}
+    for tf_key, depth in transformer2d_keys(cfg):
+        for k in range(depth):
+            key = f"{tf_key}.transformer_blocks.{k}.attn2"
+            if f"{key}.to_kv.weight" in params:
+                cache[key] = ops.linear(ctx, params[f"{key}.to_kv.weight"])
+            else:
+                cache[key] = (
+                    ops.linear(ctx, params[f"{key}.to_k.weight"]),
+                    ops.linear(ctx, params[f"{key}.to_v.weight"]),
+                )
+    return cache
+
+
+def unet_apply(
+    cfg: UNetConfig,
+    params: dict[str, jax.Array],
+    sample: jax.Array,
+    timesteps: jax.Array,
+    encoder_hidden_states: jax.Array,
+    text_embeds: jax.Array,
+    time_ids: jax.Array,
+    cross_kv: dict | None = None,
+    time_cond: dict | None = None,
+) -> jax.Array:
+    """One denoising forward pass.
+
+    sample: (B, H, W, C_in) NHWC latents; timesteps: (B,) or scalar;
+    encoder_hidden_states: (B, S, cross_attention_dim); text_embeds: (B, pooled);
+    time_ids: (B, 6). Returns predicted noise, same shape as sample.
+    ``cross_kv`` (optional): precomputed cross-attention K/V projections from
+    ``precompute_cross_kv`` — step-invariant work hoisted out of the denoise
+    loop; numerically identical to recomputing them here. ``time_cond``
+    (optional): this step's {resnet_key: (B, C)} time_emb_proj slice from
+    ``precompute_time_cond`` — same hoisting idea for the per-step
+    time-conditioning GEMMs.
+
+    I/O shape contract matches the reference benchmark driver
+    (``implementations/Diffusers/load_unet.py:28-34``) modulo NCHW->NHWC.
+    """
+    p = params
+    dtype = sample.dtype
+    if timesteps.ndim == 0:
+        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+    temb = (None if time_cond is not None
+            else _time_embedding(cfg, p, timesteps, text_embeds, time_ids, dtype))
+
+    if encoder_hidden_states is None:
+        # every cross-attention must then hit the precomputed cache
+        assert cross_kv is not None, "need encoder_hidden_states or cross_kv"
+        ctx = None
+    else:
+        ctx = encoder_hidden_states.astype(dtype)
 
     # --- down path ---
     h = ops.conv2d(sample, p["conv_in.weight"], p["conv_in.bias"])
     skips = [h]
     for i, btype in enumerate(cfg.down_block_types):
         for j in range(cfg.layers_per_block):
-            h = _resnet(p, f"down_blocks.{i}.resnets.{j}", h, temb, cfg)
+            rk = f"down_blocks.{i}.resnets.{j}"
+            h = _resnet(p, rk, h, temb, cfg,
+                        emb=None if time_cond is None else time_cond[rk])
             if btype == "CrossAttnDownBlock2D":
                 h = _transformer2d(
                     p, f"down_blocks.{i}.attentions.{j}", h, ctx, cfg,
-                    cfg.transformer_layers_per_block[i],
+                    cfg.transformer_layers_per_block[i], cross_kv=cross_kv,
                 )
             skips.append(h)
         if i < len(cfg.down_block_types) - 1:
@@ -518,20 +665,26 @@ def unet_apply(
             skips.append(h)
 
     # --- mid ---
-    h = _resnet(p, "mid_block.resnets.0", h, temb, cfg)
+    h = _resnet(p, "mid_block.resnets.0", h, temb, cfg,
+                emb=None if time_cond is None else time_cond["mid_block.resnets.0"])
     h = _transformer2d(
-        p, "mid_block.attentions.0", h, ctx, cfg, cfg.mid_transformer_layers
+        p, "mid_block.attentions.0", h, ctx, cfg, cfg.mid_transformer_layers,
+        cross_kv=cross_kv,
     )
-    h = _resnet(p, "mid_block.resnets.1", h, temb, cfg)
+    h = _resnet(p, "mid_block.resnets.1", h, temb, cfg,
+                emb=None if time_cond is None else time_cond["mid_block.resnets.1"])
 
     # --- up path ---
     for i, btype in enumerate(cfg.up_block_types):
         tf_layers = tuple(reversed(cfg.transformer_layers_per_block))[i]
         for j in range(cfg.layers_per_block + 1):
             h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = _resnet(p, f"up_blocks.{i}.resnets.{j}", h, temb, cfg)
+            rk = f"up_blocks.{i}.resnets.{j}"
+            h = _resnet(p, rk, h, temb, cfg,
+                        emb=None if time_cond is None else time_cond[rk])
             if btype == "CrossAttnUpBlock2D":
-                h = _transformer2d(p, f"up_blocks.{i}.attentions.{j}", h, ctx, cfg, tf_layers)
+                h = _transformer2d(p, f"up_blocks.{i}.attentions.{j}", h, ctx,
+                                   cfg, tf_layers, cross_kv=cross_kv)
         if i < len(cfg.up_block_types) - 1:
             h = _upsample(p, f"up_blocks.{i}.upsamplers.0", h)
 

@@ -247,12 +247,15 @@ def layer_norm_bf16apply(
 ):
     """LayerNorm with f32 moments but the normalize+affine applied in the
     input dtype — same rationale and fidelity argument as group_norm
-    'bf16apply' (2x VPU rate / half the traffic on the apply pass; exact on
-    f32 inputs, ~0.4% relative rounding on bf16)."""
+    'bf16apply' (2x VPU rate / half the traffic on the apply pass; bit-exact
+    vs `layer_norm` on f32 inputs, ~0.4% relative rounding on bf16). Variance
+    is the two-pass E[(x-mean)^2] form, matching `layer_norm` — the one-pass
+    E[x^2]-mean^2 form cancels catastrophically for large-mean rows; the
+    moments are f32 either way, the apply dtype is the actual optimization."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
-    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
     out = (x - mean.astype(x.dtype)) * rstd.astype(x.dtype)
     if gamma is not None:
         out = out * gamma.astype(x.dtype)

@@ -33,14 +33,34 @@ def make_denoise_loop(
     guidance_scale: float = 5.0,
     solver: str = "euler",
     unroll: int = 1,
+    precompute: Callable | None = None,
+    precompute_time: Callable | None = None,
 ):
     """Build fn(params, latents, ctx, text_embeds, time_ids) -> final latents.
+
+    ``solver``: "euler" (also DDIM — eta=0 DDIM is the identical update in
+    sigma-space), "euler_a" (ancestral, takes per-step ``noise``), "heun"
+    (2 NFE/step), or "dpmpp_2m".
 
     ``unet_step(params, sample2, t, ctx, text_embeds, time_ids)`` is the
     (already backend-bound) UNet forward; ``sample2`` is the CFG-doubled batch.
     ``latents``: (B, H, W, C) *already scaled* by init_noise_sigma.
     ``ctx``/``text_embeds``/``time_ids``: CFG-doubled (2B, ...) conditioning,
     uncond first.
+
+    ``precompute(params, ctx) -> cond`` (optional) hoists loop-invariant
+    conditioning work out of the scan — it runs ONCE before the loop and its
+    result replaces ``ctx`` in every ``unet_step`` call (the cross-attention
+    K/V cache: the text conditioning never changes across steps, so XLA
+    re-reading its projection weights every step is pure waste — the analog
+    of what CUDA-graph capture could never do for the reference, which
+    re-ran those GEMMs inside every replay).
+
+    ``precompute_time(params, timesteps, text_embeds, time_ids) -> pytree``
+    (optional) batches the per-step time-conditioning projections over all T
+    steps before the loop (models/unet.precompute_time_cond); each leaf is
+    (T, ...) and rides the scan's xs, so step i's slice reaches ``unet_step``
+    as a 7th argument.
 
     Returned fn is pure; wrap in jit (pipeline.py does, with donation).
     """
@@ -49,7 +69,8 @@ def make_denoise_loop(
     num_steps = len(schedule.timesteps)
     g = float(guidance_scale)
 
-    def cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra):
+    def cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra,
+                tc=None):
         inp = sched.scale_model_input(lat, sigma)
         if extra is not None:
             # inpainting-style conditioning channels (mask + masked-image
@@ -59,63 +80,107 @@ def make_denoise_loop(
         else:
             inp2 = jnp.concatenate([inp, inp], axis=0)
         t2 = jnp.broadcast_to(t, (inp2.shape[0],))
-        eps = unet_step(params, inp2, t2, ctx, text_embeds, time_ids)
+        if tc is None:
+            eps = unet_step(params, inp2, t2, ctx, text_embeds, time_ids)
+        else:
+            eps = unet_step(params, inp2, t2, ctx, text_embeds, time_ids, tc)
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + g * (eps_c - eps_u)
+
+    def time_cache(params, text_embeds, time_ids):
+        if precompute_time is None:
+            return None
+        return precompute_time(params, timesteps, text_embeds, time_ids)
 
     if solver == "euler":
 
         def loop(params, latents, ctx, text_embeds, time_ids, extra=None):
+            cond = precompute(params, ctx) if precompute is not None else ctx
+            tc_all = time_cache(params, text_embeds, time_ids)
+
             def step(lat, xs):
-                sigma, sigma_next, t = xs
-                eps = cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra)
+                sigma, sigma_next, t, tc = xs
+                eps = cfg_eps(params, lat, t, cond, text_embeds, time_ids,
+                              sigma, extra, tc)
                 return sched.euler_step(lat, eps, sigma, sigma_next), None
 
-            xs = (sigmas[:-1], sigmas[1:], timesteps)
+            xs = (sigmas[:-1], sigmas[1:], timesteps, tc_all)
             final, _ = jax.lax.scan(step, latents, xs, unroll=unroll)
             return final
 
     elif solver == "heun":
 
         def loop(params, latents, ctx, text_embeds, time_ids, extra=None):
+            cond = precompute(params, ctx) if precompute is not None else ctx
+            tc_all = time_cache(params, text_embeds, time_ids)
             # timestep for the correction eval at sigma_next (last entry is a
             # dummy — that step's trapezoid is masked out at sigma_next == 0)
             t_nexts = jnp.concatenate([timesteps[1:], timesteps[-1:]])
+            tc_nexts = (None if tc_all is None else jax.tree.map(
+                lambda a: jnp.concatenate([a[1:], a[-1:]]), tc_all))
 
             def step(lat, xs):
-                sigma, sigma_next, t, t_next = xs
-                eps = cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra)
+                sigma, sigma_next, t, t_next, tc, tc_next = xs
+                eps = cfg_eps(params, lat, t, cond, text_embeds, time_ids,
+                              sigma, extra, tc)
                 proposal = sched.euler_step(lat, eps, sigma, sigma_next)
-                eps2 = cfg_eps(params, proposal, t_next, ctx, text_embeds,
-                               time_ids, sigma_next, extra)
+                eps2 = cfg_eps(params, proposal, t_next, cond, text_embeds,
+                               time_ids, sigma_next, extra, tc_next)
                 return sched.heun_step(lat, eps, eps2, sigma, sigma_next), None
 
-            xs = (sigmas[:-1], sigmas[1:], timesteps, t_nexts)
+            xs = (sigmas[:-1], sigmas[1:], timesteps, t_nexts, tc_all, tc_nexts)
             final, _ = jax.lax.scan(step, latents, xs, unroll=unroll)
             return final
 
     elif solver == "dpmpp_2m":
 
         def loop(params, latents, ctx, text_embeds, time_ids, extra=None):
+            cond = precompute(params, ctx) if precompute is not None else ctx
+            tc_all = time_cache(params, text_embeds, time_ids)
             # sigma_prev[i] = sigmas[i-1] (self for i=0; h_prev=0 is unused then)
             sigma_prevs = jnp.concatenate([sigmas[:1], sigmas[:-2]])
 
             def step(carry, xs):
                 lat, prev_x0, have_prev = carry
-                sigma, sigma_next, sigma_prev, t = xs
-                eps = cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra)
+                sigma, sigma_next, sigma_prev, t, tc = xs
+                eps = cfg_eps(params, lat, t, cond, text_embeds, time_ids,
+                              sigma, extra, tc)
                 lat, x0 = sched.dpmpp_2m_step(
                     lat, eps, sigma, sigma_next, prev_x0, have_prev, sigma_prev
                 )
                 return (lat, x0, jnp.bool_(True)), None
 
-            xs = (sigmas[:-1], sigmas[1:], sigma_prevs, timesteps)
+            xs = (sigmas[:-1], sigmas[1:], sigma_prevs, timesteps, tc_all)
             init = (
                 latents,
                 jnp.zeros_like(latents, jnp.float32),
                 jnp.bool_(False),
             )
             (final, _, _), _ = jax.lax.scan(step, init, xs, unroll=unroll)
+            return final
+
+    elif solver == "euler_a":
+
+        def loop(params, latents, ctx, text_embeds, time_ids, extra=None,
+                 noise=None):
+            # ancestral sampling needs fresh per-step gaussian noise: a
+            # (steps, B, H, W, C) tensor riding the scan's xs (the pipeline
+            # derives it from the per-image seeds, so batching a request
+            # still never changes its image)
+            if noise is None:
+                raise ValueError("euler_a needs per-step noise (steps, *latents)")
+            cond = precompute(params, ctx) if precompute is not None else ctx
+            tc_all = time_cache(params, text_embeds, time_ids)
+
+            def step(lat, xs):
+                sigma, sigma_next, t, nz, tc = xs
+                eps = cfg_eps(params, lat, t, cond, text_embeds, time_ids,
+                              sigma, extra, tc)
+                return sched.euler_ancestral_step(lat, eps, sigma, sigma_next,
+                                                  nz), None
+
+            xs = (sigmas[:-1], sigmas[1:], timesteps, noise, tc_all)
+            final, _ = jax.lax.scan(step, latents, xs, unroll=unroll)
             return final
 
     else:

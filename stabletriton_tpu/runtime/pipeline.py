@@ -14,6 +14,7 @@ Tokenization is the only host-side step (token ids in, images out).
 
 from __future__ import annotations
 
+import os
 import threading
 from dataclasses import dataclass, field
 from typing import Any
@@ -30,10 +31,30 @@ from stabletriton_tpu.compile import (
 )
 from stabletriton_tpu.models import clip as clip_mod
 from stabletriton_tpu.models import vae as vae_mod
-from stabletriton_tpu.models.unet import UNetConfig, unet_apply
+from stabletriton_tpu.models.unet import (
+    UNetConfig,
+    precompute_cross_kv,
+    precompute_time_cond,
+    unet_apply,
+)
 from stabletriton_tpu.runtime import scheduler as sched
 from stabletriton_tpu.runtime.denoise import make_denoise_loop
 from stabletriton_tpu.runtime.profiling import logger as _logger
+
+
+def _ancestral_noise(keys, steps: int, shape) -> jnp.ndarray:
+    """(steps, B, *shape) fresh per-step gaussian noise for ancestral solvers.
+
+    One independent key chain per image (fold_in(k, 1), disjoint from the
+    init-noise draw on k itself), so batching a request never changes its
+    image — the same serving-determinism contract as the init noise.
+    """
+    def per_image(k):
+        return jax.random.normal(
+            jax.random.fold_in(k, 1), (steps,) + tuple(shape), jnp.float32
+        )
+
+    return jnp.swapaxes(jax.vmap(per_image)(keys), 0, 1)
 
 
 def _seed_vector(seed, batch: int) -> jnp.ndarray:
@@ -66,6 +87,12 @@ class SDXLPipeline:
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def __post_init__(self):
+        if os.environ.get("ST_TPU_COMPILE_CACHE", "") not in ("", "0"):
+            # persist XLA executables across processes — the cross-process
+            # upgrade of the reference's in-memory CUDA-graph/autotune caches
+            from stabletriton_tpu.compile import enable_persistent_compile_cache
+
+            enable_persistent_compile_cache()
         self.params = dict(self.params)
         if self.compile_config.backend != "reference":
             self.params["unet"] = fuse_attention_projections(self.params["unet"])
@@ -96,6 +123,35 @@ class SDXLPipeline:
         out = tuple(None if a is None else jax.device_put(a, bs) for a in arrays)
         return out if len(out) > 1 else out[0]
 
+    def _unet_step_fns(self):
+        """(unet_step, precompute, precompute_time) for make_denoise_loop.
+        With cache_cross_kv (default) the step consumes the precomputed
+        cross-attention K/V cache instead of the raw context; with
+        cache_time_cond (default) the per-step time-conditioning projections
+        ride the scan's xs, batched over all steps up front. Both are
+        numerically identical to the inline computation — loop-invariant /
+        step-batchable work just runs once per generation."""
+        ucfg = self.unet_config
+        use_kv = self.compile_config.cache_cross_kv
+        use_tc = self.compile_config.cache_time_cond
+
+        def unet_step(unet_params, sample, t, cond, text_embeds, time_ids,
+                      tc=None):
+            ctx, kv = (None, cond) if use_kv else (cond, None)
+            return unet_apply(ucfg, unet_params, sample, t, ctx,
+                              text_embeds, time_ids, cross_kv=kv,
+                              time_cond=tc)
+
+        def kv_pre(unet_params, ctx):
+            return precompute_cross_kv(ucfg, unet_params, ctx)
+
+        def time_pre(unet_params, timesteps, text_embeds, time_ids):
+            return precompute_time_cond(ucfg, unet_params, timesteps,
+                                        text_embeds, time_ids)
+
+        return unet_step, (kv_pre if use_kv else None), (
+            time_pre if use_tc else None)
+
     # ------------------------------------------------------------------
     def _build(self, *, batch, height, width, steps, guidance_scale, solver,
                return_latents):
@@ -117,11 +173,11 @@ class SDXLPipeline:
                 autotune.ensure_attention_tuned(ucfg, lat_h, lat_w, batch,
                                                 dtype=dtype)
 
-        def unet_step(unet_params, sample, t, ctx, text_embeds, time_ids):
-            return unet_apply(ucfg, unet_params, sample, t, ctx, text_embeds, time_ids)
+        unet_step, kv_pre, time_pre = self._unet_step_fns()
 
         loop = make_denoise_loop(
-            unet_step, schedule, guidance_scale=guidance_scale, solver=solver
+            unet_step, schedule, guidance_scale=guidance_scale, solver=solver,
+            precompute=kv_pre, precompute_time=time_pre,
         )
 
         def program(params, ids1, ids2, neg_ids1, neg_ids2, seed):
@@ -164,7 +220,12 @@ class SDXLPipeline:
                 latents = (noise * schedule.init_noise_sigma).astype(dtype)
 
                 # --- the whole denoise loop, one scan ---
-                latents = loop(params["unet"], latents, ctx, pooled, time_ids)
+                if solver == "euler_a":
+                    latents = loop(params["unet"], latents, ctx, pooled, time_ids,
+                                   noise=_ancestral_noise(keys, loop.num_steps,
+                                                          latents.shape[1:]))
+                else:
+                    latents = loop(params["unet"], latents, ctx, pooled, time_ids)
 
                 if return_latents:
                     return latents
@@ -289,11 +350,11 @@ class SDXLPipeline:
         f = self.vae_config.spatial_scale_factor
         lat_h, lat_w = height // f, width // f
 
-        def unet_step(unet_params, sample, t, ctx, text_embeds, time_ids):
-            return unet_apply(ucfg, unet_params, sample, t, ctx, text_embeds, time_ids)
+        unet_step, kv_pre, time_pre = self._unet_step_fns()
 
         loop = make_denoise_loop(
-            unet_step, schedule, guidance_scale=guidance_scale, solver=solver
+            unet_step, schedule, guidance_scale=guidance_scale, solver=solver,
+            precompute=kv_pre, precompute_time=time_pre,
         )
 
         def program(params, image, mask, ids1, ids2, neg_ids1, neg_ids2, seed):
@@ -324,7 +385,14 @@ class SDXLPipeline:
                 )(keys)
                 latents = (noise * schedule.init_noise_sigma).astype(dtype)
 
-                latents = loop(params["unet"], latents, ctx, pooled, time_ids, extra)
+                if solver == "euler_a":
+                    latents = loop(params["unet"], latents, ctx, pooled,
+                                   time_ids, extra,
+                                   noise=_ancestral_noise(keys, loop.num_steps,
+                                                          latents.shape[1:]))
+                else:
+                    latents = loop(params["unet"], latents, ctx, pooled,
+                                   time_ids, extra)
                 img = vae_mod.vae_decode(
                     self.vae_config, params["vae"], latents.astype(jnp.float32)
                 )
@@ -396,11 +464,11 @@ class SDXLPipeline:
             + 5 * ucfg.addition_time_embed_dim
         )
 
-        def unet_step(unet_params, sample, t, ctx, text_embeds, time_ids):
-            return unet_apply(ucfg, unet_params, sample, t, ctx, text_embeds, time_ids)
+        unet_step, kv_pre, time_pre = self._unet_step_fns()
 
         loop = make_denoise_loop(
-            unet_step, part, guidance_scale=guidance_scale, solver=solver
+            unet_step, part, guidance_scale=guidance_scale, solver=solver,
+            precompute=kv_pre, precompute_time=time_pre,
         )
 
         def program(params, latents_in, ids1, ids2, neg_ids1, neg_ids2, seed):
@@ -456,7 +524,12 @@ class SDXLPipeline:
                 sigma0 = part.sigmas[0]
                 latents = (latents_in.astype(jnp.float32) + noise * sigma0).astype(dtype)
 
-                latents = loop(params["unet"], latents, ctx, pooled, time_ids)
+                if solver == "euler_a":
+                    latents = loop(params["unet"], latents, ctx, pooled, time_ids,
+                                   noise=_ancestral_noise(keys, loop.num_steps,
+                                                          latents.shape[1:]))
+                else:
+                    latents = loop(params["unet"], latents, ctx, pooled, time_ids)
                 if not decode:
                     return latents
                 img = vae_mod.vae_decode(

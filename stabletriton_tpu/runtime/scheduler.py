@@ -1,4 +1,5 @@
-"""Diffusion noise schedulers (Euler discrete + DPM-Solver++ 2M), on-device.
+"""Diffusion noise schedulers (Euler, Euler-Ancestral, Heun, DPM-Solver++ 2M),
+on-device.
 
 The reference ran its scheduler as a ~50-step *host* Python loop around the
 CUDA-graph replay (reference ``implementations/Diffusers/load_sdxl_pipeline.py:39``,
@@ -108,6 +109,32 @@ def euler_step(sample, eps, sigma, sigma_next):
     sample' = sample + eps * (sigma_next - sigma).
     """
     return (sample + eps.astype(jnp.float32) * (sigma_next - sigma)).astype(sample.dtype)
+
+
+def ancestral_sigmas(sigma, sigma_next):
+    """(sigma_down, sigma_up) for an ancestral step (k-diffusion
+    ``get_ancestral_step``, eta=1): the deterministic part steps to
+    sigma_down and fresh noise at sigma_up restores the marginal at
+    sigma_next (sigma_down^2 + sigma_up^2 == sigma_next^2)."""
+    var_up = sigma_next**2 * (sigma**2 - sigma_next**2) / jnp.maximum(sigma**2, 1e-20)
+    sigma_up = jnp.sqrt(jnp.maximum(var_up, 0.0))
+    sigma_down = jnp.sqrt(jnp.maximum(sigma_next**2 - sigma_up**2, 0.0))
+    return sigma_down, sigma_up
+
+
+def euler_ancestral_step(sample, eps, sigma, sigma_next, noise):
+    """One Euler-Ancestral step (epsilon prediction, eta=1).
+
+    diffusers EulerAncestralDiscreteScheduler / k-diffusion
+    ``sample_euler_ancestral``: Euler step to sigma_down, then add fresh
+    gaussian ``noise`` scaled by sigma_up. At sigma_next == 0 both collapse
+    to pred_x0 (sigma_down == sigma_up == 0), so the final step is
+    deterministic and noise-free.
+    """
+    sigma_down, sigma_up = ancestral_sigmas(sigma, sigma_next)
+    x = sample.astype(jnp.float32) + eps.astype(jnp.float32) * (sigma_down - sigma)
+    x = x + noise.astype(jnp.float32) * sigma_up
+    return x.astype(sample.dtype)
 
 
 def heun_step(sample, eps, eps_next, sigma, sigma_next):

@@ -198,21 +198,29 @@ def test_group_norm_bf16apply_close():
 
 
 def test_layer_norm_bf16apply_close():
-    """bf16-apply LN stays close to the f32 reference (draft-mode bound) and
-    is exact on f32 inputs (the per-kernel f32 parity contract)."""
+    """bf16-apply LN: BIT-identical to the f32 reference on f32 inputs (both
+    use the two-pass variance and the apply dtype is then f32 too), close at
+    the draft-mode bound on bf16 inputs — including rows with a large mean
+    relative to std, where a one-pass E[x^2]-mean^2 variance would cancel."""
     import jax.numpy as jnp
     import numpy as np
 
     from stabletriton_tpu.ops.reference import layer_norm, layer_norm_bf16apply
 
     rng = np.random.default_rng(6)
-    xf = jnp.asarray(rng.standard_normal((2, 64, 96), dtype=np.float32) * 2)
+    xf_np = rng.standard_normal((2, 64, 96), dtype=np.float32) * 2
+    # large-mean rows: |mean|/std ~ 300 — the one-pass variance loses ~half
+    # its f32 mantissa here; the two-pass form does not care.
+    xf_np[1] += 600.0
+    xf = jnp.asarray(xf_np)
     g = jnp.asarray(rng.standard_normal(96, dtype=np.float32))
     b = jnp.asarray(rng.standard_normal(96, dtype=np.float32))
-    np.testing.assert_allclose(np.asarray(layer_norm(xf, g, b)),
-                               np.asarray(layer_norm_bf16apply(xf, g, b)),
-                               atol=1e-5, rtol=1e-5)
-    xb = xf.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(layer_norm(xf, g, b)),
+                                  np.asarray(layer_norm_bf16apply(xf, g, b)))
+    # bf16 leg on the zero-mean rows only: at mean ~600 the bf16-cast mean
+    # quantizes at ~1 std, which is the inherent (documented) draft-mode cost
+    # of applying in bf16, not a variance-formula artifact.
+    xb = jnp.asarray(xf_np[:1]).astype(jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(layer_norm(xb, g, b), np.float32),
                                np.asarray(layer_norm_bf16apply(xb, g, b), np.float32),
                                atol=5e-2, rtol=5e-2)

@@ -216,3 +216,76 @@ def test_karras_timesteps_match_sigmas():
     # and non-Karras timesteps are NOT what Karras mode should condition on
     plain = sched.make_schedule(sched.SchedulerConfig(), 10)
     assert not np.allclose(plain.timesteps, s.timesteps)
+
+
+def test_ancestral_sigmas_variance_split():
+    """sigma_down^2 + sigma_up^2 == sigma_next^2 (the ancestral step's
+    deterministic part + fresh noise restore the target marginal), and both
+    vanish at sigma_next == 0 so the last step is exact denoising."""
+    sigma, sigma_next = jnp.float32(10.0), jnp.float32(5.0)
+    down, up = sched.ancestral_sigmas(sigma, sigma_next)
+    np.testing.assert_allclose(float(down**2 + up**2), float(sigma_next**2),
+                               rtol=1e-6)
+    assert 0.0 < float(up) < float(sigma_next)
+    down0, up0 = sched.ancestral_sigmas(sigma, jnp.float32(0.0))
+    assert float(down0) == 0.0 and float(up0) == 0.0
+
+
+def test_euler_ancestral_step_semantics():
+    """With noise == 0 the step is the Euler step to sigma_down; at
+    sigma_next == 0 it collapses to pred_x0 regardless of noise."""
+    x0 = jnp.ones((1, 2, 2, 1))
+    eps = jnp.ones_like(x0) * 0.5
+    sigma, sigma_next = jnp.float32(4.0), jnp.float32(2.0)
+    x = x0 + sigma * eps
+    down, up = sched.ancestral_sigmas(sigma, sigma_next)
+    out = sched.euler_ancestral_step(x, eps, sigma, sigma_next,
+                                     jnp.zeros_like(x))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(x + eps * (down - sigma)), atol=1e-6)
+    out0 = sched.euler_ancestral_step(x, eps, sigma, jnp.float32(0.0),
+                                      jnp.ones_like(x) * 9.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(x0), atol=1e-6)
+
+
+def test_denoise_loop_euler_a():
+    """euler_a loop runs with per-step noise, requires it, and the noise
+    actually reaches the trajectory (different noise -> different output)."""
+    schedule = sched.make_schedule(sched.SchedulerConfig(), 6)
+
+    def fake_unet(params, sample2, t, ctx, text_embeds, time_ids):
+        return sample2 * params["k"]
+
+    loop = make_denoise_loop(fake_unet, schedule, guidance_scale=1.0,
+                             solver="euler_a")
+    latents = jnp.ones((2, 4, 4, 4)) * schedule.init_noise_sigma
+    cond = (jnp.zeros((4, 7, 8)), jnp.zeros((4, 8)), jnp.zeros((4, 6)))
+    p = {"k": jnp.float32(0.1)}
+    with pytest.raises(ValueError):
+        loop(p, latents, *cond)
+    nz = jax.random.normal(jax.random.PRNGKey(0), (6,) + latents.shape)
+    out = jax.jit(loop)(p, latents, *cond, noise=nz)
+    assert out.shape == latents.shape
+    assert np.isfinite(np.asarray(out)).all()
+    out2 = jax.jit(loop)(p, latents, *cond, noise=nz * 0.5)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_pipeline_euler_a_txt2img():
+    """Tiny end-to-end txt2img with the ancestral solver: runs, finite,
+    deterministic per seed, and seed-sensitive."""
+    from stabletriton_tpu.compile import CompileConfig
+    from stabletriton_tpu.runtime.pipeline import make_tiny_pipeline
+
+    pipe = make_tiny_pipeline(CompileConfig(backend="reference", dtype="float32"))
+    ids = jnp.zeros((1, 16), jnp.int32)
+    a = pipe.txt2img(ids, ids, height=32, width=32, steps=3, seed=7,
+                     solver="euler_a")
+    b = pipe.txt2img(ids, ids, height=32, width=32, steps=3, seed=7,
+                     solver="euler_a")
+    c = pipe.txt2img(ids, ids, height=32, width=32, steps=3, seed=8,
+                     solver="euler_a")
+    assert a.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
