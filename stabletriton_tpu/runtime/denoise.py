@@ -35,6 +35,7 @@ def make_denoise_loop(
     unroll: int = 1,
     precompute: Callable | None = None,
     precompute_time: Callable | None = None,
+    guidance_interval: tuple[float, float] | None = None,
 ):
     """Build fn(params, latents, ctx, text_embeds, time_ids) -> final latents.
 
@@ -62,15 +63,31 @@ def make_denoise_loop(
     (T, ...) and rides the scan's xs, so step i's slice reaches ``unet_step``
     as a 7th argument.
 
+    ``guidance_interval=(sigma_lo, sigma_hi)`` (optional, draft-mode knob):
+    apply CFG only while sigma_lo <= sigma <= sigma_hi and run the
+    *conditional branch alone* (half the UNet batch) outside it — guidance
+    mostly matters at mid-range noise levels ("Applying Guidance in a Limited
+    Interval", Kynkaanniemi et al. 2024), so the skipped steps run ~2x
+    faster. Changes sampling semantics (like the int8 turbo modes, it is
+    outside the exactness gate and reported separately); None (default)
+    keeps classic every-step CFG.
+
+    ``guidance_scale <= 1`` disables CFG entirely (the diffusers
+    ``do_classifier_free_guidance = guidance_scale > 1`` convention —
+    SDXL-Turbo/LCM-style sampling): every step runs the conditional branch
+    alone at half the UNet batch. At g == 1 this is the same math
+    (eps_u + 1*(eps_c - eps_u) == eps_c) minus the wasted uncond forward.
+
     Returned fn is pure; wrap in jit (pipeline.py does, with donation).
     """
     sigmas = jnp.asarray(schedule.sigmas)      # (steps+1,)
     timesteps = jnp.asarray(schedule.timesteps)  # (steps,)
     num_steps = len(schedule.timesteps)
     g = float(guidance_scale)
+    no_cfg = g <= 1.0
 
-    def cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra,
-                tc=None):
+    def guided_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra,
+                   tc=None):
         inp = sched.scale_model_input(lat, sigma)
         if extra is not None:
             # inpainting-style conditioning channels (mask + masked-image
@@ -86,6 +103,42 @@ def make_denoise_loop(
             eps = unet_step(params, inp2, t2, ctx, text_embeds, time_ids, tc)
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + g * (eps_c - eps_u)
+
+    def cond_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra,
+                 tc=None):
+        # conditioning is CFG-doubled (2B, ...) with uncond first; the
+        # cond-only branch consumes the second half of every leaf (incl. the
+        # cross-KV cache pytree and the time-cond slice)
+        b = lat.shape[0]
+        half = lambda tree: (None if tree is None
+                             else jax.tree.map(lambda a: a[b:], tree))
+        inp = sched.scale_model_input(lat, sigma)
+        if extra is not None:
+            inp = jnp.concatenate([inp, extra[b:].astype(inp.dtype)], axis=-1)
+        t1 = jnp.broadcast_to(t, (b,))
+        if tc is None:
+            return unet_step(params, inp, t1, half(ctx),
+                             half(text_embeds), half(time_ids))
+        return unet_step(params, inp, t1, half(ctx), half(text_embeds),
+                         half(time_ids), half(tc))
+
+    def cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra,
+                tc=None):
+        if no_cfg:
+            return cond_eps(params, lat, t, ctx, text_embeds, time_ids,
+                            sigma, extra, tc)
+        if guidance_interval is None:
+            return guided_eps(params, lat, t, ctx, text_embeds, time_ids,
+                              sigma, extra, tc)
+        lo, hi = guidance_interval
+        return jax.lax.cond(
+            (sigma >= lo) & (sigma <= hi),
+            lambda _: guided_eps(params, lat, t, ctx, text_embeds, time_ids,
+                                 sigma, extra, tc),
+            lambda _: cond_eps(params, lat, t, ctx, text_embeds, time_ids,
+                               sigma, extra, tc),
+            operand=None,
+        )
 
     def time_cache(params, text_embeds, time_ids):
         if precompute_time is None:
