@@ -615,6 +615,8 @@ def unet_apply(
     time_ids: jax.Array,
     cross_kv: dict | None = None,
     time_cond: dict | None = None,
+    return_cache: bool = False,
+    cache_depth: int = 1,
 ) -> jax.Array:
     """One denoising forward pass.
 
@@ -627,6 +629,13 @@ def unet_apply(
     (optional): this step's {resnet_key: (B, C)} time_emb_proj slice from
     ``precompute_time_cond`` — same hoisting idea for the per-step
     time-conditioning GEMMs.
+
+    ``return_cache``: also return the hidden state entering up block
+    ``len(up) - cache_depth`` (right after the preceding upsample) — the
+    DeepCache split point (Ma et al. 2023): everything *below* the outermost
+    ``cache_depth`` levels feeds the rest of the UNet only through this one
+    tensor, so a later step can reuse it and recompute just the shallow
+    levels (``unet_apply_shallow``). Returns ``(eps, cache)``.
 
     I/O shape contract matches the reference benchmark driver
     (``implementations/Diffusers/load_unet.py:28-34``) modulo NCHW->NHWC.
@@ -675,7 +684,10 @@ def unet_apply(
                 emb=None if time_cond is None else time_cond["mid_block.resnets.1"])
 
     # --- up path ---
+    cache = None
     for i, btype in enumerate(cfg.up_block_types):
+        if return_cache and i == len(cfg.up_block_types) - cache_depth:
+            cache = h  # the DeepCache split point (see docstring)
         tf_layers = tuple(reversed(cfg.transformer_layers_per_block))[i]
         for j in range(cfg.layers_per_block + 1):
             h = jnp.concatenate([h, skips.pop()], axis=-1)
@@ -689,6 +701,98 @@ def unet_apply(
             h = _upsample(p, f"up_blocks.{i}.upsamplers.0", h)
 
     # --- out ---
+    h = ops.group_norm(
+        h, p["conv_norm_out.weight"], p["conv_norm_out.bias"],
+        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, act="silu",
+    )
+    out = ops.conv2d(h, p["conv_out.weight"], p["conv_out.bias"])
+    return (out, cache) if return_cache else out
+
+
+def deep_cache_shape(cfg: UNetConfig, batch: int, lat_h: int, lat_w: int,
+                     cache_depth: int = 1) -> tuple[int, int, int, int]:
+    """Static shape of the DeepCache feature for a (batch, lat_h, lat_w)
+    latent: it enters up block ``len(up) - cache_depth``, i.e. the output of
+    the previous up block after its upsample — ``block_out_channels[depth]``
+    channels at ``2^(depth-1)``-downsampled resolution."""
+    assert 1 <= cache_depth < len(cfg.block_out_channels), cache_depth
+    s = cache_depth - 1
+    return (batch, lat_h >> s, lat_w >> s, cfg.block_out_channels[cache_depth])
+
+
+def unet_apply_shallow(
+    cfg: UNetConfig,
+    params: dict[str, jax.Array],
+    sample: jax.Array,
+    timesteps: jax.Array,
+    encoder_hidden_states: jax.Array,
+    text_embeds: jax.Array,
+    time_ids: jax.Array,
+    cache: jax.Array,
+    cross_kv: dict | None = None,
+    time_cond: dict | None = None,
+    cache_depth: int = 1,
+) -> jax.Array:
+    """DeepCache fast pass: recompute only the outermost ``cache_depth``
+    levels, splicing ``cache`` (from ``unet_apply(..., return_cache=True)``)
+    in place of everything deeper.
+
+    Runs conv_in + down blocks ``[0, cache_depth)`` (for their skip
+    connections), then resumes the up path at block ``len(up) - cache_depth``
+    from ``cache``. With ``cache`` captured from a full pass on identical
+    inputs this is bit-identical to that pass's output (the shallow levels
+    see exactly the same operands — parity-tested); across steps it is the
+    DeepCache approximation: the deep features drift slowly in t, the shallow
+    ones carry the per-step detail. For SDXL (depth 1) the fast pass is
+    attention-free — ~20x less work than a full step.
+    """
+    p = params
+    dtype = sample.dtype
+    if timesteps.ndim == 0:
+        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+    temb = (None if time_cond is not None
+            else _time_embedding(cfg, p, timesteps, text_embeds, time_ids, dtype))
+    if encoder_hidden_states is None:
+        assert cross_kv is not None, "need encoder_hidden_states or cross_kv"
+        ctx = None
+    else:
+        ctx = encoder_hidden_states.astype(dtype)
+
+    h = ops.conv2d(sample, p["conv_in.weight"], p["conv_in.bias"])
+    skips = [h]
+    for i in range(cache_depth):
+        btype = cfg.down_block_types[i]
+        for j in range(cfg.layers_per_block):
+            rk = f"down_blocks.{i}.resnets.{j}"
+            h = _resnet(p, rk, h, temb, cfg,
+                        emb=None if time_cond is None else time_cond[rk])
+            if btype == "CrossAttnDownBlock2D":
+                h = _transformer2d(
+                    p, f"down_blocks.{i}.attentions.{j}", h, ctx, cfg,
+                    cfg.transformer_layers_per_block[i], cross_kv=cross_kv,
+                )
+            skips.append(h)
+        if i < cache_depth - 1:
+            h = _downsample(p, f"down_blocks.{i}.downsamplers.0", h)
+            skips.append(h)
+
+    h = cache.astype(dtype)
+    n = len(cfg.up_block_types)
+    for i in range(n - cache_depth, n):
+        btype = cfg.up_block_types[i]
+        tf_layers = tuple(reversed(cfg.transformer_layers_per_block))[i]
+        for j in range(cfg.layers_per_block + 1):
+            h = jnp.concatenate([h, skips.pop()], axis=-1)
+            rk = f"up_blocks.{i}.resnets.{j}"
+            h = _resnet(p, rk, h, temb, cfg,
+                        emb=None if time_cond is None else time_cond[rk])
+            if btype == "CrossAttnUpBlock2D":
+                h = _transformer2d(p, f"up_blocks.{i}.attentions.{j}", h, ctx,
+                                   cfg, tf_layers, cross_kv=cross_kv)
+        if i < n - 1:
+            h = _upsample(p, f"up_blocks.{i}.upsamplers.0", h)
+
     h = ops.group_norm(
         h, p["conv_norm_out.weight"], p["conv_norm_out.bias"],
         num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, act="silu",

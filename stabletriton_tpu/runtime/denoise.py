@@ -36,6 +36,7 @@ def make_denoise_loop(
     precompute: Callable | None = None,
     precompute_time: Callable | None = None,
     guidance_interval: tuple[float, float] | None = None,
+    deep_cache: tuple | None = None,
 ):
     """Build fn(params, latents, ctx, text_embeds, time_ids) -> final latents.
 
@@ -78,6 +79,17 @@ def make_denoise_loop(
     alone at half the UNet batch. At g == 1 this is the same math
     (eps_u + 1*(eps_c - eps_u) == eps_c) minus the wasted uncond forward.
 
+    ``deep_cache=(interval, full_fn, shallow_fn, cache_hwc)`` (optional,
+    draft-mode knob — DeepCache, Ma et al. 2023): every ``interval``-th step
+    runs ``full_fn`` (a ``unet_step`` that ALSO returns the deep-feature
+    cache, models/unet.unet_apply ``return_cache``); the steps in between run
+    ``shallow_fn`` (models/unet.unet_apply_shallow bound the same way),
+    which recomputes only the outermost UNet level and splices the carried
+    cache in — ~20x less work on SDXL. ``cache_hwc`` is the cache's static
+    (H, W, C) from models/unet.deep_cache_shape; the cache rides the scan
+    carry. Mutually exclusive with ``guidance_interval``; composes with
+    ``guidance_scale <= 1``.
+
     Returned fn is pure; wrap in jit (pipeline.py does, with donation).
     """
     sigmas = jnp.asarray(schedule.sigmas)      # (steps+1,)
@@ -85,6 +97,10 @@ def make_denoise_loop(
     num_steps = len(schedule.timesteps)
     g = float(guidance_scale)
     no_cfg = g <= 1.0
+    if deep_cache is not None and guidance_interval is not None:
+        raise ValueError("deep_cache and guidance_interval don't compose")
+    if deep_cache is not None and int(deep_cache[0]) < 1:
+        raise ValueError(f"deep_cache interval must be >= 1: {deep_cache[0]}")
 
     def guided_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra,
                    tc=None):
@@ -140,6 +156,65 @@ def make_denoise_loop(
             operand=None,
         )
 
+    def _half(tree, b):
+        return (None if tree is None
+                else jax.tree.map(lambda a: a[b:], tree))
+
+    def eps_step(params, lat, t, ctx, text_embeds, time_ids, sigma, extra,
+                 tc, cache, idx):
+        """cfg_eps plus the DeepCache carry: returns (eps, cache')."""
+        if deep_cache is None:
+            return cfg_eps(params, lat, t, ctx, text_embeds, time_ids,
+                           sigma, extra, tc), cache
+        interval, full_fn, shallow_fn, _ = deep_cache
+        b = lat.shape[0]
+
+        inp = sched.scale_model_input(lat, sigma)
+        if no_cfg:
+            if extra is not None:
+                inp = jnp.concatenate([inp, extra[b:].astype(inp.dtype)],
+                                      axis=-1)
+            tt = jnp.broadcast_to(t, (b,))
+            c_, te_, tid_, tc_ = (_half(ctx, b), _half(text_embeds, b),
+                                  _half(time_ids, b), _half(tc, b))
+        else:
+            inp = jnp.concatenate([inp, inp], axis=0)
+            if extra is not None:
+                inp = jnp.concatenate([inp, extra.astype(inp.dtype)], axis=-1)
+            tt = jnp.broadcast_to(t, (inp.shape[0],))
+            c_, te_, tid_, tc_ = ctx, text_embeds, time_ids, tc
+
+        def combine(eps):
+            if no_cfg:
+                return eps
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            return eps_u + g * (eps_c - eps_u)
+
+        def full(_):
+            eps, new_cache = full_fn(params, inp, tt, c_, te_, tid_, tc_)
+            return combine(eps), new_cache.astype(cache.dtype)
+
+        def fast(_):
+            eps = shallow_fn(params, inp, tt, c_, te_, tid_, tc_, cache)
+            return combine(eps), cache
+
+        if int(interval) == 1:
+            return full(None)
+        return jax.lax.cond(idx % int(interval) == 0, full, fast,
+                            operand=None)
+
+    def init_cache(latents):
+        """Scan-carry init: () when DeepCache is off (free), else a zeros
+        placeholder — step 0 is always a full step, so it never reads it."""
+        if deep_cache is None:
+            return ()
+        ch, cw, cc = deep_cache[3]
+        bfac = 1 if no_cfg else 2
+        return jnp.zeros((bfac * latents.shape[0], ch, cw, cc),
+                         latents.dtype)
+
+    step_ids = jnp.arange(num_steps)
+
     def time_cache(params, text_embeds, time_ids):
         if precompute_time is None:
             return None
@@ -151,14 +226,17 @@ def make_denoise_loop(
             cond = precompute(params, ctx) if precompute is not None else ctx
             tc_all = time_cache(params, text_embeds, time_ids)
 
-            def step(lat, xs):
-                sigma, sigma_next, t, tc = xs
-                eps = cfg_eps(params, lat, t, cond, text_embeds, time_ids,
-                              sigma, extra, tc)
-                return sched.euler_step(lat, eps, sigma, sigma_next), None
+            def step(carry, xs):
+                lat, cache = carry
+                sigma, sigma_next, t, idx, tc = xs
+                eps, cache = eps_step(params, lat, t, cond, text_embeds,
+                                      time_ids, sigma, extra, tc, cache, idx)
+                return (sched.euler_step(lat, eps, sigma, sigma_next),
+                        cache), None
 
-            xs = (sigmas[:-1], sigmas[1:], timesteps, tc_all)
-            final, _ = jax.lax.scan(step, latents, xs, unroll=unroll)
+            xs = (sigmas[:-1], sigmas[1:], timesteps, step_ids, tc_all)
+            (final, _), _ = jax.lax.scan(step, (latents, init_cache(latents)),
+                                         xs, unroll=unroll)
             return final
 
     elif solver == "heun":
@@ -172,17 +250,23 @@ def make_denoise_loop(
             tc_nexts = (None if tc_all is None else jax.tree.map(
                 lambda a: jnp.concatenate([a[1:], a[-1:]]), tc_all))
 
-            def step(lat, xs):
-                sigma, sigma_next, t, t_next, tc, tc_next = xs
-                eps = cfg_eps(params, lat, t, cond, text_embeds, time_ids,
-                              sigma, extra, tc)
+            def step(carry, xs):
+                lat, cache = carry
+                sigma, sigma_next, t, t_next, idx, tc, tc_next = xs
+                eps, cache = eps_step(params, lat, t, cond, text_embeds,
+                                      time_ids, sigma, extra, tc, cache, idx)
                 proposal = sched.euler_step(lat, eps, sigma, sigma_next)
-                eps2 = cfg_eps(params, proposal, t_next, cond, text_embeds,
-                               time_ids, sigma_next, extra, tc_next)
-                return sched.heun_step(lat, eps, eps2, sigma, sigma_next), None
+                # the correction eval shares the step's full/shallow choice
+                eps2, cache = eps_step(params, proposal, t_next, cond,
+                                       text_embeds, time_ids, sigma_next,
+                                       extra, tc_next, cache, idx)
+                return (sched.heun_step(lat, eps, eps2, sigma, sigma_next),
+                        cache), None
 
-            xs = (sigmas[:-1], sigmas[1:], timesteps, t_nexts, tc_all, tc_nexts)
-            final, _ = jax.lax.scan(step, latents, xs, unroll=unroll)
+            xs = (sigmas[:-1], sigmas[1:], timesteps, t_nexts, step_ids,
+                  tc_all, tc_nexts)
+            (final, _), _ = jax.lax.scan(step, (latents, init_cache(latents)),
+                                         xs, unroll=unroll)
             return final
 
     elif solver == "dpmpp_2m":
@@ -194,22 +278,24 @@ def make_denoise_loop(
             sigma_prevs = jnp.concatenate([sigmas[:1], sigmas[:-2]])
 
             def step(carry, xs):
-                lat, prev_x0, have_prev = carry
-                sigma, sigma_next, sigma_prev, t, tc = xs
-                eps = cfg_eps(params, lat, t, cond, text_embeds, time_ids,
-                              sigma, extra, tc)
+                lat, prev_x0, have_prev, cache = carry
+                sigma, sigma_next, sigma_prev, t, idx, tc = xs
+                eps, cache = eps_step(params, lat, t, cond, text_embeds,
+                                      time_ids, sigma, extra, tc, cache, idx)
                 lat, x0 = sched.dpmpp_2m_step(
                     lat, eps, sigma, sigma_next, prev_x0, have_prev, sigma_prev
                 )
-                return (lat, x0, jnp.bool_(True)), None
+                return (lat, x0, jnp.bool_(True), cache), None
 
-            xs = (sigmas[:-1], sigmas[1:], sigma_prevs, timesteps, tc_all)
+            xs = (sigmas[:-1], sigmas[1:], sigma_prevs, timesteps, step_ids,
+                  tc_all)
             init = (
                 latents,
                 jnp.zeros_like(latents, jnp.float32),
                 jnp.bool_(False),
+                init_cache(latents),
             )
-            (final, _, _), _ = jax.lax.scan(step, init, xs, unroll=unroll)
+            (final, _, _, _), _ = jax.lax.scan(step, init, xs, unroll=unroll)
             return final
 
     elif solver == "euler_a":
@@ -225,15 +311,17 @@ def make_denoise_loop(
             cond = precompute(params, ctx) if precompute is not None else ctx
             tc_all = time_cache(params, text_embeds, time_ids)
 
-            def step(lat, xs):
-                sigma, sigma_next, t, nz, tc = xs
-                eps = cfg_eps(params, lat, t, cond, text_embeds, time_ids,
-                              sigma, extra, tc)
-                return sched.euler_ancestral_step(lat, eps, sigma, sigma_next,
-                                                  nz), None
+            def step(carry, xs):
+                lat, cache = carry
+                sigma, sigma_next, t, nz, idx, tc = xs
+                eps, cache = eps_step(params, lat, t, cond, text_embeds,
+                                      time_ids, sigma, extra, tc, cache, idx)
+                return (sched.euler_ancestral_step(lat, eps, sigma, sigma_next,
+                                                   nz), cache), None
 
-            xs = (sigmas[:-1], sigmas[1:], timesteps, noise, tc_all)
-            final, _ = jax.lax.scan(step, latents, xs, unroll=unroll)
+            xs = (sigmas[:-1], sigmas[1:], timesteps, noise, step_ids, tc_all)
+            (final, _), _ = jax.lax.scan(step, (latents, init_cache(latents)),
+                                         xs, unroll=unroll)
             return final
 
     else:

@@ -33,9 +33,11 @@ from stabletriton_tpu.models import clip as clip_mod
 from stabletriton_tpu.models import vae as vae_mod
 from stabletriton_tpu.models.unet import (
     UNetConfig,
+    deep_cache_shape,
     precompute_cross_kv,
     precompute_time_cond,
     unet_apply,
+    unet_apply_shallow,
 )
 from stabletriton_tpu.runtime import scheduler as sched
 from stabletriton_tpu.runtime.denoise import make_denoise_loop
@@ -155,9 +157,34 @@ class SDXLPipeline:
         return unet_step, (kv_pre if use_kv else None), (
             time_pre if use_tc else None)
 
+    def _deep_cache_tuple(self, deep_cache, lat_h, lat_w):
+        """make_denoise_loop's ``deep_cache`` arg for interval ``deep_cache``:
+        unet_step-shaped full/shallow fns plus the cache's static (H, W, C)."""
+        if deep_cache is None:
+            return None
+        ucfg = self.unet_config
+        use_kv = self.compile_config.cache_cross_kv
+
+        def full_fn(unet_params, sample, t, cond, text_embeds, time_ids,
+                    tc=None):
+            ctx, kv = (None, cond) if use_kv else (cond, None)
+            return unet_apply(ucfg, unet_params, sample, t, ctx, text_embeds,
+                              time_ids, cross_kv=kv, time_cond=tc,
+                              return_cache=True)
+
+        def shallow_fn(unet_params, sample, t, cond, text_embeds, time_ids,
+                       tc, cache):
+            ctx, kv = (None, cond) if use_kv else (cond, None)
+            return unet_apply_shallow(ucfg, unet_params, sample, t, ctx,
+                                      text_embeds, time_ids, cache,
+                                      cross_kv=kv, time_cond=tc)
+
+        hwc = deep_cache_shape(ucfg, 1, lat_h, lat_w)[1:]
+        return (int(deep_cache), full_fn, shallow_fn, hwc)
+
     # ------------------------------------------------------------------
     def _build(self, *, batch, height, width, steps, guidance_scale, solver,
-               return_latents, guidance_interval=None):
+               return_latents, guidance_interval=None, deep_cache=None):
         """Trace+jit the full txt2img program for one signature."""
         binding = resolve_binding(self.compile_config)
         dtype = self.compile_config.jnp_dtype
@@ -182,6 +209,7 @@ class SDXLPipeline:
             unet_step, schedule, guidance_scale=guidance_scale, solver=solver,
             precompute=kv_pre, precompute_time=time_pre,
             guidance_interval=guidance_interval,
+            deep_cache=self._deep_cache_tuple(deep_cache, lat_h, lat_w),
         )
 
         def program(params, ids1, ids2, neg_ids1, neg_ids2, seed):
@@ -258,13 +286,19 @@ class SDXLPipeline:
         seed: int = 0,
         return_latents: bool = False,
         guidance_interval: tuple[float, float] | None = None,
+        deep_cache: int | None = None,
     ):
         """Generate images; returns (B, height, width, 3) in [-1, 1]
         (or final latents if return_latents).
 
         ``guidance_interval=(sigma_lo, sigma_hi)`` (draft knob): CFG only
         inside the sigma window; outside it the uncond UNet branch is skipped
-        entirely (~2x faster on those steps). See make_denoise_loop."""
+        entirely (~2x faster on those steps). See make_denoise_loop.
+
+        ``deep_cache=N`` (draft knob — DeepCache, Ma et al. 2023): run the
+        full UNet every N-th step and only the outermost level (splicing the
+        carried deep-feature cache) in between. N=2/3 keep quality close;
+        mutually exclusive with guidance_interval."""
         self._check_resolution(height, width)
         batch = int(ids1.shape[0])
         # missing negative prompt == the empty prompt "" (BOS/EOS/pad), exactly
@@ -280,8 +314,9 @@ class SDXLPipeline:
             )
         gi = (None if guidance_interval is None
               else (float(guidance_interval[0]), float(guidance_interval[1])))
+        dc = None if deep_cache is None else int(deep_cache)
         sig = (batch, height, width, steps, float(guidance_scale), solver,
-               return_latents, gi)
+               return_latents, gi, dc)
         fn = self._cache.get(sig)
         if fn is None:
             # double-checked lock: concurrent servers must not double-compile
@@ -295,6 +330,7 @@ class SDXLPipeline:
                         batch=batch, height=height, width=width, steps=steps,
                         guidance_scale=float(guidance_scale), solver=solver,
                         return_latents=return_latents, guidance_interval=gi,
+                        deep_cache=dc,
                     )
                     self._cache[sig] = fn
         ids1, ids2, neg_ids1, neg_ids2, seeds = self._shard_batch(
@@ -316,6 +352,7 @@ class SDXLPipeline:
         solver: str = "euler",
         seed: int = 0,
         guidance_interval: tuple[float, float] | None = None,
+        deep_cache: int | None = None,
     ):
         """Inpainting with a 9-channel SDXL-inpaint UNet (in_channels = 4 noisy +
         1 mask + 4 masked-image latents). Requires encoder params under
@@ -338,8 +375,9 @@ class SDXLPipeline:
             )
         gi = (None if guidance_interval is None
               else (float(guidance_interval[0]), float(guidance_interval[1])))
+        dc = None if deep_cache is None else int(deep_cache)
         sig = ("inpaint", batch, height, width, steps, float(guidance_scale),
-               solver, gi)
+               solver, gi, dc)
         fn = self._cache.get(sig)
         if fn is None:
             with self._lock:
@@ -349,7 +387,7 @@ class SDXLPipeline:
                     fn = self._build_inpaint(
                         batch=batch, height=height, width=width, steps=steps,
                         guidance_scale=float(guidance_scale), solver=solver,
-                        guidance_interval=gi,
+                        guidance_interval=gi, deep_cache=dc,
                     )
                     self._cache[sig] = fn
         image, mask, ids1, ids2, neg_ids1, neg_ids2, seeds = self._shard_batch(
@@ -358,7 +396,8 @@ class SDXLPipeline:
         return fn(self.params, image, mask, ids1, ids2, neg_ids1, neg_ids2, seeds)
 
     def _build_inpaint(self, *, batch, height, width, steps,
-                                guidance_scale, solver, guidance_interval=None):
+                                guidance_scale, solver, guidance_interval=None,
+                                deep_cache=None):
         binding = resolve_binding(self.compile_config)
         dtype = self.compile_config.jnp_dtype
         schedule = sched.make_schedule(self.scheduler_config, steps)
@@ -372,6 +411,8 @@ class SDXLPipeline:
             unet_step, schedule, guidance_scale=guidance_scale, solver=solver,
             precompute=kv_pre, precompute_time=time_pre,
             guidance_interval=guidance_interval,
+            deep_cache=self._deep_cache_tuple(deep_cache, height // f,
+                                              width // f),
         )
 
         def program(params, image, mask, ids1, ids2, neg_ids1, neg_ids2, seed):
@@ -462,7 +503,8 @@ class SDXLPipeline:
     # img2img / refinement
     # ------------------------------------------------------------------
     def _build_img2img(self, *, batch, lat_h, lat_w, steps, start, guidance_scale,
-                       solver, aesthetic_scores, decode):
+                       solver, aesthetic_scores, decode,
+                       guidance_interval=None, deep_cache=None):
         """Jit an img2img program: noise the input latents to sigma[start],
         run the truncated schedule, optionally decode."""
         binding = resolve_binding(self.compile_config)
@@ -488,6 +530,8 @@ class SDXLPipeline:
         loop = make_denoise_loop(
             unet_step, part, guidance_scale=guidance_scale, solver=solver,
             precompute=kv_pre, precompute_time=time_pre,
+            guidance_interval=guidance_interval,
+            deep_cache=self._deep_cache_tuple(deep_cache, lat_h, lat_w),
         )
 
         def program(params, latents_in, ids1, ids2, neg_ids1, neg_ids2, seed):
@@ -573,9 +617,12 @@ class SDXLPipeline:
         seed: int = 0,
         aesthetic_scores: tuple[float, float] = (2.5, 6.0),  # (uncond, cond)
         decode: bool = True,
+        guidance_interval: tuple[float, float] | None = None,
+        deep_cache: int | None = None,
     ):
         """Refine existing latents (SDXL refiner / img2img): re-noise to the
-        strength point of the schedule and denoise the remaining steps."""
+        strength point of the schedule and denoise the remaining steps.
+        ``guidance_interval`` / ``deep_cache``: see txt2img."""
         batch, lat_h, lat_w, _ = latents.shape
         start = min(max(steps - int(round(steps * strength)), 0), steps - 1)
         if neg_ids1 is None and ids1 is not None:
@@ -586,8 +633,11 @@ class SDXLPipeline:
             neg_ids2 = jnp.asarray(
                 self.clip2_config.empty_prompt_ids(batch, int(ids2.shape[1]))
             )
+        gi = (None if guidance_interval is None
+              else (float(guidance_interval[0]), float(guidance_interval[1])))
+        dc = None if deep_cache is None else int(deep_cache)
         sig = ("i2i", batch, lat_h, lat_w, steps, start, float(guidance_scale),
-               solver, aesthetic_scores, decode)
+               solver, aesthetic_scores, decode, gi, dc)
         fn = self._cache.get(sig)
         if fn is None:
             with self._lock:
@@ -598,7 +648,7 @@ class SDXLPipeline:
                         batch=batch, lat_h=lat_h, lat_w=lat_w, steps=steps,
                         start=start, guidance_scale=float(guidance_scale),
                         solver=solver, aesthetic_scores=aesthetic_scores,
-                        decode=decode,
+                        decode=decode, guidance_interval=gi, deep_cache=dc,
                     )
                     self._cache[sig] = fn
         latents, ids1, ids2, neg_ids1, neg_ids2, seeds = self._shard_batch(

@@ -37,10 +37,15 @@ class Request:
     guidance_scale: float = 5.0
     solver: str = "euler"
     seed: int = 0
+    # draft-mode knobs (see SDXLPipeline.txt2img) — part of the batching
+    # signature: requests only share a program if they sample identically
+    guidance_interval: tuple[float, float] | None = None
+    deep_cache: int | None = None
 
     @property
     def signature(self):
-        return (self.height, self.width, self.steps, self.guidance_scale, self.solver)
+        return (self.height, self.width, self.steps, self.guidance_scale,
+                self.solver, self.guidance_interval, self.deep_cache)
 
 
 def _bucket(n: int, buckets=_BUCKETS) -> int:
@@ -145,7 +150,8 @@ class ServingEngine:
                     neg_ids1=jnp.asarray(neg1), neg_ids2=jnp.asarray(neg2),
                     height=r0.height, width=r0.width, steps=r0.steps,
                     guidance_scale=r0.guidance_scale, solver=r0.solver,
-                    seed=seed,
+                    seed=seed, guidance_interval=r0.guidance_interval,
+                    deep_cache=r0.deep_cache,
                 )
                 imgs = np.asarray(imgs)
                 for i, fut in enumerate(futs):
