@@ -62,6 +62,13 @@ def main():
     ids2 = jnp.asarray(ids)
 
     def leg(name, **kw):
+        # whole-generation wall clock, min over 3 steady repeats: the
+        # np.asarray readback is a hard data dependency (a true fence, unlike
+        # block_until_ready on this platform), and at ~2-4 s per call the
+        # fixed dispatch+readback overhead the chained-slope method
+        # (runtime/profiling.bench_fn) cancels for ~100 ms steps is <2% here;
+        # min-of-3 absorbs the one-sided tunnel jitter. Step-level numbers
+        # still come exclusively from bench_fn (bench.py).
         t0 = time.perf_counter()
         img = pipe.txt2img(ids1, ids2, height=1024, width=1024, steps=steps,
                            seed=0, **kw)

@@ -90,6 +90,10 @@ def enable_persistent_compile_cache(path: str | None = None) -> str:
     import os
 
     if path is None:
+        if _cache_enabled is not None:
+            # a cache dir is already active (possibly set explicitly by the
+            # user) — a default-path call must not silently repoint it
+            return _cache_enabled
         path = os.environ.get(
             "ST_TPU_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "stabletriton_tpu", "xla"),

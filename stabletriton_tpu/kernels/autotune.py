@@ -283,11 +283,14 @@ def tune_attention_fused(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
 
 
 def attention_shapes_for_unet(cfg, lat_h: int, lat_w: int, batch: int,
-                              ctx_len: int = 77) -> list[tuple[int, int, int, int, int]]:
+                              ctx_len: int = 77, cfg_factor: int = 2,
+                              ) -> list[tuple[int, int, int, int, int]]:
     """Every (b, sq, sk, h, d) the UNet dispatches at this signature: one
-    self + one cross shape per attention level (CFG doubles the batch)."""
+    self + one cross shape per attention level. ``cfg_factor=2`` is the
+    classic CFG-doubled batch; the no-CFG / guidance-interval cond-only
+    branches dispatch at ``cfg_factor=1``."""
     shapes = set()
-    b = 2 * batch
+    b = cfg_factor * batch
     h_, w_ = lat_h, lat_w
     for i, btype in enumerate(cfg.down_block_types):
         ch = cfg.block_out_channels[i]
@@ -312,16 +315,23 @@ def attention_shapes_for_unet(cfg, lat_h: int, lat_w: int, batch: int,
 
 
 def ensure_attention_tuned(cfg, lat_h: int, lat_w: int, batch: int,
-                           dtype=None, ctx_len: int = 77) -> None:
+                           dtype=None, ctx_len: int = 77,
+                           cfg_factors: tuple[int, ...] = (2,)) -> None:
     """Tune any attention shape of this signature that has no table entry.
 
     Tunes the split interface first (the fused tuner's split candidate and
     every fallback path read that table), then the fused-operand entry
-    points the UNet actually dispatches."""
+    points the UNet actually dispatches. ``cfg_factors``: which UNet batch
+    multiples the program traces — (2,) for classic CFG, (1,) for no-CFG,
+    (1, 2) when a guidance interval makes both branches live."""
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if dtype is None else dtype
-    shapes = attention_shapes_for_unet(cfg, lat_h, lat_w, batch, ctx_len)
+    shapes = sorted({
+        s for f in cfg_factors
+        for s in attention_shapes_for_unet(cfg, lat_h, lat_w, batch,
+                                           ctx_len, cfg_factor=f)
+    })
     for b, sq, sk, h, d in shapes:
         if lookup(attention_key(b, sq, sk, h, d, dtype)) is None:
             tune_attention(b, sq, sk, h, d, dtype)

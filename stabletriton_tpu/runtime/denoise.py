@@ -102,63 +102,72 @@ def make_denoise_loop(
     if deep_cache is not None and int(deep_cache[0]) < 1:
         raise ValueError(f"deep_cache interval must be >= 1: {deep_cache[0]}")
 
+    def _half(tree, b):
+        return (None if tree is None
+                else jax.tree.map(lambda a: a[b:], tree))
+
+    def _prep(lat, t, sigma, extra, doubled: bool):
+        """Scaled UNet input (+optional inpaint channels) and its timestep
+        vector; ``doubled`` stacks the CFG pair. ``extra`` (inpainting-style
+        mask + masked-image latents, concatenated *unscaled*) must match the
+        output batch: CFG-doubled when doubling, cond-half otherwise."""
+        inp = sched.scale_model_input(lat, sigma)
+        if doubled:
+            inp = jnp.concatenate([inp, inp], axis=0)
+        if extra is not None:
+            inp = jnp.concatenate([inp, extra.astype(inp.dtype)], axis=-1)
+        return inp, jnp.broadcast_to(t, (inp.shape[0],))
+
+    def _combine(eps):
+        """CFG combine for a doubled batch (uncond first); identity for the
+        cond-only modes."""
+        if no_cfg:
+            return eps
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        return eps_u + g * (eps_c - eps_u)
+
+    def _call(params, inp, tt, ctx, text_embeds, time_ids, tc):
+        if tc is None:
+            return unet_step(params, inp, tt, ctx, text_embeds, time_ids)
+        return unet_step(params, inp, tt, ctx, text_embeds, time_ids, tc)
+
     def guided_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra,
                    tc=None):
-        inp = sched.scale_model_input(lat, sigma)
-        if extra is not None:
-            # inpainting-style conditioning channels (mask + masked-image
-            # latents), concatenated *unscaled*, already CFG-doubled
-            inp2 = jnp.concatenate([inp, inp], axis=0)
-            inp2 = jnp.concatenate([inp2, extra.astype(inp2.dtype)], axis=-1)
-        else:
-            inp2 = jnp.concatenate([inp, inp], axis=0)
-        t2 = jnp.broadcast_to(t, (inp2.shape[0],))
-        if tc is None:
-            eps = unet_step(params, inp2, t2, ctx, text_embeds, time_ids)
-        else:
-            eps = unet_step(params, inp2, t2, ctx, text_embeds, time_ids, tc)
+        inp2, t2 = _prep(lat, t, sigma, extra, True)
+        eps = _call(params, inp2, t2, ctx, text_embeds, time_ids, tc)
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + g * (eps_c - eps_u)
 
     def cond_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra,
                  tc=None):
-        # conditioning is CFG-doubled (2B, ...) with uncond first; the
-        # cond-only branch consumes the second half of every leaf (incl. the
-        # cross-KV cache pytree and the time-cond slice)
-        b = lat.shape[0]
-        half = lambda tree: (None if tree is None
-                             else jax.tree.map(lambda a: a[b:], tree))
-        inp = sched.scale_model_input(lat, sigma)
-        if extra is not None:
-            inp = jnp.concatenate([inp, extra[b:].astype(inp.dtype)], axis=-1)
-        t1 = jnp.broadcast_to(t, (b,))
-        if tc is None:
-            return unet_step(params, inp, t1, half(ctx),
-                             half(text_embeds), half(time_ids))
-        return unet_step(params, inp, t1, half(ctx), half(text_embeds),
-                         half(time_ids), half(tc))
+        """Single-branch eps. ALL conditioning (ctx/text_embeds/time_ids/
+        extra/tc) must already be the cond half — the loops pre-slice it
+        once before the scan for no-CFG mode (hoist, not per-step), and the
+        guidance-interval branch slices at its call site."""
+        inp, t1 = _prep(lat, t, sigma, extra, False)
+        return _call(params, inp, t1, ctx, text_embeds, time_ids, tc)
 
     def cfg_eps(params, lat, t, ctx, text_embeds, time_ids, sigma, extra,
                 tc=None):
         if no_cfg:
+            # conditioning arrives pre-halved (see hoist_cond)
             return cond_eps(params, lat, t, ctx, text_embeds, time_ids,
                             sigma, extra, tc)
         if guidance_interval is None:
             return guided_eps(params, lat, t, ctx, text_embeds, time_ids,
                               sigma, extra, tc)
         lo, hi = guidance_interval
+        b = lat.shape[0]
         return jax.lax.cond(
             (sigma >= lo) & (sigma <= hi),
             lambda _: guided_eps(params, lat, t, ctx, text_embeds, time_ids,
                                  sigma, extra, tc),
-            lambda _: cond_eps(params, lat, t, ctx, text_embeds, time_ids,
-                               sigma, extra, tc),
+            lambda _: cond_eps(params, lat, t, _half(ctx, b),
+                               _half(text_embeds, b), _half(time_ids, b),
+                               sigma, None if extra is None else extra[b:],
+                               _half(tc, b)),
             operand=None,
         )
-
-    def _half(tree, b):
-        return (None if tree is None
-                else jax.tree.map(lambda a: a[b:], tree))
 
     def eps_step(params, lat, t, ctx, text_embeds, time_ids, sigma, extra,
                  tc, cache, idx):
@@ -167,41 +176,37 @@ def make_denoise_loop(
             return cfg_eps(params, lat, t, ctx, text_embeds, time_ids,
                            sigma, extra, tc), cache
         interval, full_fn, shallow_fn, _ = deep_cache
-        b = lat.shape[0]
-
-        inp = sched.scale_model_input(lat, sigma)
-        if no_cfg:
-            if extra is not None:
-                inp = jnp.concatenate([inp, extra[b:].astype(inp.dtype)],
-                                      axis=-1)
-            tt = jnp.broadcast_to(t, (b,))
-            c_, te_, tid_, tc_ = (_half(ctx, b), _half(text_embeds, b),
-                                  _half(time_ids, b), _half(tc, b))
-        else:
-            inp = jnp.concatenate([inp, inp], axis=0)
-            if extra is not None:
-                inp = jnp.concatenate([inp, extra.astype(inp.dtype)], axis=-1)
-            tt = jnp.broadcast_to(t, (inp.shape[0],))
-            c_, te_, tid_, tc_ = ctx, text_embeds, time_ids, tc
-
-        def combine(eps):
-            if no_cfg:
-                return eps
-            eps_u, eps_c = jnp.split(eps, 2, axis=0)
-            return eps_u + g * (eps_c - eps_u)
+        # no-CFG conditioning arrives pre-halved (hoist_cond), so both modes
+        # pass their inputs straight through
+        inp, tt = _prep(lat, t, sigma, extra, not no_cfg)
 
         def full(_):
-            eps, new_cache = full_fn(params, inp, tt, c_, te_, tid_, tc_)
-            return combine(eps), new_cache.astype(cache.dtype)
+            eps, new_cache = full_fn(params, inp, tt, ctx, text_embeds,
+                                     time_ids, tc)
+            return _combine(eps), new_cache.astype(cache.dtype)
 
         def fast(_):
-            eps = shallow_fn(params, inp, tt, c_, te_, tid_, tc_, cache)
-            return combine(eps), cache
+            eps = shallow_fn(params, inp, tt, ctx, text_embeds, time_ids,
+                             tc, cache)
+            return _combine(eps), cache
 
         if int(interval) == 1:
             return full(None)
         return jax.lax.cond(idx % int(interval) == 0, full, fast,
                             operand=None)
+
+    def hoist_cond(latents, cond, text_embeds, time_ids, extra, tc_all):
+        """For cond-only sampling (g <= 1) slice every conditioning tree to
+        its cond half ONCE before the scan — the ~70-leaf cross-KV cache in
+        particular must not be re-sliced per step. tc_all leaves are
+        (T, 2B, C): the batch lives on axis 1."""
+        if not no_cfg:
+            return cond, text_embeds, time_ids, extra, tc_all
+        b = latents.shape[0]
+        return (_half(cond, b), _half(text_embeds, b), _half(time_ids, b),
+                None if extra is None else extra[b:],
+                None if tc_all is None
+                else jax.tree.map(lambda a: a[:, b:], tc_all))
 
     def init_cache(latents):
         """Scan-carry init: () when DeepCache is off (free), else a zeros
@@ -225,6 +230,8 @@ def make_denoise_loop(
         def loop(params, latents, ctx, text_embeds, time_ids, extra=None):
             cond = precompute(params, ctx) if precompute is not None else ctx
             tc_all = time_cache(params, text_embeds, time_ids)
+            cond, text_embeds, time_ids, extra, tc_all = hoist_cond(
+                latents, cond, text_embeds, time_ids, extra, tc_all)
 
             def step(carry, xs):
                 lat, cache = carry
@@ -244,6 +251,8 @@ def make_denoise_loop(
         def loop(params, latents, ctx, text_embeds, time_ids, extra=None):
             cond = precompute(params, ctx) if precompute is not None else ctx
             tc_all = time_cache(params, text_embeds, time_ids)
+            cond, text_embeds, time_ids, extra, tc_all = hoist_cond(
+                latents, cond, text_embeds, time_ids, extra, tc_all)
             # timestep for the correction eval at sigma_next (last entry is a
             # dummy — that step's trapezoid is masked out at sigma_next == 0)
             t_nexts = jnp.concatenate([timesteps[1:], timesteps[-1:]])
@@ -274,6 +283,8 @@ def make_denoise_loop(
         def loop(params, latents, ctx, text_embeds, time_ids, extra=None):
             cond = precompute(params, ctx) if precompute is not None else ctx
             tc_all = time_cache(params, text_embeds, time_ids)
+            cond, text_embeds, time_ids, extra, tc_all = hoist_cond(
+                latents, cond, text_embeds, time_ids, extra, tc_all)
             # sigma_prev[i] = sigmas[i-1] (self for i=0; h_prev=0 is unused then)
             sigma_prevs = jnp.concatenate([sigmas[:1], sigmas[:-2]])
 
@@ -310,6 +321,8 @@ def make_denoise_loop(
                 raise ValueError("euler_a needs per-step noise (steps, *latents)")
             cond = precompute(params, ctx) if precompute is not None else ctx
             tc_all = time_cache(params, text_embeds, time_ids)
+            cond, text_embeds, time_ids, extra, tc_all = hoist_cond(
+                latents, cond, text_embeds, time_ids, extra, tc_all)
 
             def step(carry, xs):
                 lat, cache = carry

@@ -132,9 +132,10 @@ class SDXLPipeline:
         """(unet_step, precompute, precompute_time) for make_denoise_loop.
         With cache_cross_kv (default) the step consumes the precomputed
         cross-attention K/V cache instead of the raw context; with
-        cache_time_cond (default) the per-step time-conditioning projections
-        ride the scan's xs, batched over all steps up front. Both are
-        numerically identical to the inline computation — loop-invariant /
+        cache_time_cond (opt-in — it measured OUT at the step level, see
+        CompileConfig) the per-step time-conditioning projections ride the
+        scan's xs, batched over all steps up front. Both are numerically
+        identical to the inline computation — loop-invariant /
         step-batchable work just runs once per generation."""
         ucfg = self.unet_config
         use_kv = self.compile_config.cache_cross_kv
@@ -199,9 +200,19 @@ class SDXLPipeline:
             if autotune.autotune_enabled():
                 # measure-before-trace: fill the per-shape block table for every
                 # attention shape this signature dispatches (the TPU analog of
-                # the reference's launch-time Triton autotune, linear.py:38-63)
+                # the reference's launch-time Triton autotune, linear.py:38-63).
+                # no-CFG programs run the UNet at batch B (factor 1); a
+                # guidance interval traces both the doubled and cond-only
+                # branches, so both factors need entries.
+                if guidance_scale <= 1:
+                    factors = (1,)
+                elif guidance_interval is not None:
+                    factors = (1, 2)
+                else:
+                    factors = (2,)
                 autotune.ensure_attention_tuned(ucfg, lat_h, lat_w, batch,
-                                                dtype=dtype)
+                                                dtype=dtype,
+                                                cfg_factors=factors)
 
         unet_step, kv_pre, time_pre = self._unet_step_fns()
 

@@ -182,6 +182,52 @@ def test_txt2img_deep_cache():
     assert np.isfinite(np.asarray(nc)).all()
 
 
+@pytest.mark.parametrize("solver", ["euler", "heun", "dpmpp_2m", "euler_a"])
+def test_deep_cache_every_solver(solver):
+    """interval=1 must equal the exact path for EVERY solver — this pins the
+    cache-carry threading (incl. heun's double eval sharing the step's
+    branch); interval=2 must run, differ, and stay finite."""
+    from stabletriton_tpu.runtime.pipeline import make_tiny_pipeline
+
+    pipe = make_tiny_pipeline()
+    s = pipe.clip_config.max_position_embeddings
+    ids = np.full((1, s), 5, np.int32)
+    ids[:, 0] = 1
+    ids[:, -1] = 99
+    ids = jnp.asarray(ids)
+    kw = dict(height=32, width=32, steps=3, seed=7, solver=solver)
+    base = pipe.txt2img(ids, ids, **kw)
+    dc1 = pipe.txt2img(ids, ids, deep_cache=1, **kw)
+    np.testing.assert_allclose(np.asarray(dc1), np.asarray(base), atol=1e-6)
+    dc2 = pipe.txt2img(ids, ids, deep_cache=2, **kw)
+    assert np.isfinite(np.asarray(dc2)).all()
+    assert not np.array_equal(np.asarray(dc2), np.asarray(base))
+
+
+@pytest.mark.parametrize("solver", ["euler", "heun", "dpmpp_2m", "euler_a"])
+def test_no_cfg_hoist_every_solver(solver):
+    """g=1 (cond-only, conditioning pre-halved before the scan) must match
+    the doubled-batch CFG path at g=1+eps for every solver — pins the
+    hoist_cond slicing against the classic path."""
+    schedule = sched.make_schedule(sched.SchedulerConfig(), 3)
+    full_fn, _ = _fake_pair()
+
+    def plain_unet(params, inp, t, ctx, te, tid, tc=None):
+        return full_fn(params, inp, t, ctx, te, tid, tc)[0]
+
+    rng = np.random.default_rng(6)
+    lat = jnp.asarray(rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((2, 3, 5)), jnp.float32)
+    noise = (jnp.asarray(rng.standard_normal((3, 1, 4, 4, 4)), jnp.float32)
+             if solver == "euler_a" else None)
+    kw = {} if noise is None else {"noise": noise}
+    a = make_denoise_loop(plain_unet, schedule, guidance_scale=1.0,
+                          solver=solver)({}, lat, ctx, None, None, **kw)
+    b = make_denoise_loop(plain_unet, schedule, guidance_scale=1.0 + 1e-7,
+                          solver=solver)({}, lat, ctx, None, None, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_img2img_deep_cache():
     """The knob also threads through the img2img/refiner surface."""
     from stabletriton_tpu.runtime.pipeline import make_tiny_refiner_pipeline

@@ -61,6 +61,22 @@ def test_mixed_signatures_split_groups(engine):
     assert all(o.shape == (32, 32, 3) for o in outs)
 
 
+def test_draft_knobs_split_signatures_and_serve(engine):
+    """deep_cache / guidance_interval are part of the batching signature:
+    requests with different knobs must not share a program, and both knob
+    paths serve valid images through the engine."""
+    kw = dict(height=32, width=32, steps=3)
+    exact = Request(prompt="a", **kw)
+    dc = Request(prompt="a", deep_cache=2, **kw)
+    gi = Request(prompt="a", guidance_interval=(0.3, 5.0), **kw)
+    assert len({exact.signature, dc.signature, gi.signature}) == 3
+    futs = [engine.submit(r) for r in (exact, dc, gi)]
+    outs = [f.result(timeout=600) for f in futs]
+    assert all(o.shape == (32, 32, 3) for o in outs)
+    assert all(np.isfinite(o).all() for o in outs)
+    assert not np.array_equal(outs[0], outs[1])
+
+
 def test_error_propagates():
     pipe = make_tiny_pipeline()
     eng = ServingEngine(pipe, IdentityTok(), IdentityTok(), max_wait_s=0.01)
