@@ -21,6 +21,7 @@ from stabletriton_tpu.models.unet import (
     precompute_cross_kv,
     precompute_time_cond,
     unet_apply,
+    unet_apply_shallow,
 )
 
 # The default fused-op set is *measured*, not aspirational — exactly how the
@@ -233,6 +234,47 @@ def compile_unet_kv(
     donate = (1,) if config.donate_sample else ()
     return (jax.jit(precompute), jax.jit(precompute_time),
             jax.jit(step, donate_argnums=donate))
+
+
+def compile_unet_deepcache(
+    unet_config: UNetConfig,
+    config: CompileConfig = CompileConfig(),
+):
+    """The DeepCache pair for step-at-a-time callers (the torch drop-in
+    frontend): ``(full, shallow)`` where
+
+      full(params, sample, t, ehs, text_embeds, time_ids) -> (eps, cache)
+      shallow(params, sample, t, ehs, text_embeds, time_ids, cache) -> eps
+
+    ``cache`` is the deep-feature tensor entering the last up block
+    (models/unet.unet_apply ``return_cache`` / ``unet_apply_shallow``). The
+    native pipeline keeps the cache inside its scan carry instead
+    (runtime/denoise.make_denoise_loop ``deep_cache``); this form is for
+    frontends that own the step loop, like the reference's per-step
+    CUDA-graph replay surface."""
+    binding = resolve_binding(config)
+    dtype = config.jnp_dtype
+
+    def full(params, sample, timesteps, encoder_hidden_states, text_embeds,
+             time_ids):
+        with ops.use_backends(binding):
+            return unet_apply(
+                unet_config, params, sample.astype(dtype), timesteps,
+                encoder_hidden_states, text_embeds, time_ids,
+                return_cache=True,
+            )
+
+    def shallow(params, sample, timesteps, encoder_hidden_states, text_embeds,
+                time_ids, cache):
+        with ops.use_backends(binding):
+            return unet_apply_shallow(
+                unet_config, params, sample.astype(dtype), timesteps,
+                encoder_hidden_states, text_embeds, time_ids, cache,
+            )
+
+    donate = (1,) if config.donate_sample else ()
+    return (jax.jit(full, donate_argnums=donate),
+            jax.jit(shallow, donate_argnums=donate))
 
 
 def cast_params(params, config: CompileConfig):

@@ -41,16 +41,21 @@ class StableTritonTPUCompile:
                 "model": ("MODEL",),
                 "backend": (["pallas", "reference"], {"default": "pallas"}),
                 "dtype": (["bfloat16", "float32"], {"default": "bfloat16"}),
+                # DeepCache interval, 0 = off (draft knob, see
+                # frontends/diffusers.compile)
+                "deep_cache": ("INT", {"default": 0, "min": 0, "max": 10}),
             }
         }
 
-    def compile(self, model: Any, backend: str = "pallas", dtype: str = "bfloat16"):
+    def compile(self, model: Any, backend: str = "pallas",
+                dtype: str = "bfloat16", deep_cache: int = 0):
         from stabletriton_tpu.frontends.diffusers import CompiledUNet
 
         cfg = CompileConfig(backend=backend, dtype=dtype)
         # ComfyUI MODEL wraps the torch UNet at model.model.diffusion_model
         torch_unet = model.model.diffusion_model
-        compiled = CompiledUNet(torch_unet, cfg)
+        compiled = CompiledUNet(torch_unet, cfg,
+                                deep_cache=deep_cache or None)
         patched = model.clone() if hasattr(model, "clone") else model
         patched.model.diffusion_model = _ComfyUNetShim(compiled)
         return (patched,)

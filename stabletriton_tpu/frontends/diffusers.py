@@ -23,7 +23,11 @@ from typing import Any
 
 import numpy as np
 
-from stabletriton_tpu.compile import CompileConfig, compile_unet
+from stabletriton_tpu.compile import (
+    CompileConfig,
+    compile_unet,
+    compile_unet_deepcache,
+)
 from stabletriton_tpu.io.torch_ingest import state_dict_to_params, unet_config_from_diffusers
 
 
@@ -40,7 +44,8 @@ class _Output:
 class CompiledUNet:
     """Drop-in replacement for a diffusers SDXL UNet, executing on TPU."""
 
-    def __init__(self, torch_unet, compile_config: CompileConfig | None = None):
+    def __init__(self, torch_unet, compile_config: CompileConfig | None = None,
+                 deep_cache: int | None = None):
         import jax.numpy as jnp
 
         self._jnp = jnp
@@ -55,6 +60,21 @@ class CompiledUNet:
         dtype = self.compile_config.jnp_dtype
         self.params = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
         self._fn = compile_unet(self.unet_config, self.compile_config)
+        # DeepCache (Ma et al. 2023) for the step-at-a-time surface: the
+        # frontend owns the step loop, so the deep-feature cache lives here
+        # as host-side state instead of a scan carry. Draft semantics
+        # (outside the exactness gate), like the native pipeline's knob.
+        self.deep_cache = None if deep_cache is None else int(deep_cache)
+        if self.deep_cache is not None:
+            self._dc_full, self._dc_shallow = compile_unet_deepcache(
+                self.unet_config, self.compile_config
+            )
+        self._dc_state = None  # (step_idx, cache, last_t)
+
+    def reset_deep_cache(self):
+        """Forget the carried cache (call between generations; auto-detected
+        when the timestep jumps back up — schedules are descending)."""
+        self._dc_state = None
 
     @property
     def dtype(self):
@@ -109,7 +129,20 @@ class CompiledUNet:
             te = jnp.zeros((b, 0), jnp.float32)
             ti = jnp.zeros((b, 0), jnp.float32)
 
-        out = self._fn(self.params, s, t, ehs, te, ti)
+        if self.deep_cache is None:
+            out = self._fn(self.params, s, t, ehs, te, ti)
+        else:
+            t_now = float(np.asarray(t)[0])
+            if self._dc_state is not None and t_now > self._dc_state[2]:
+                # timestep jumped back up: a new generation started
+                self._dc_state = None
+            if self._dc_state is None or self._dc_state[0] % self.deep_cache == 0:
+                out, cache = self._dc_full(self.params, s, t, ehs, te, ti)
+            else:
+                cache = self._dc_state[1]
+                out = self._dc_shallow(self.params, s, t, ehs, te, ti, cache)
+            idx = 0 if self._dc_state is None else self._dc_state[0]
+            self._dc_state = (idx + 1, cache, t_now)
         out_t = torch.from_numpy(
             np.asarray(out.astype(jnp.float32)).transpose(0, 3, 1, 2).copy()
         ).to(sample.dtype)
@@ -118,6 +151,12 @@ class CompiledUNet:
         return (out_t,)
 
 
-def compile(torch_unet, compile_config: CompileConfig | None = None) -> CompiledUNet:
-    """The one-call API promised by the reference README (`model = compile(model)`)."""
-    return CompiledUNet(torch_unet, compile_config)
+def compile(torch_unet, compile_config: CompileConfig | None = None,
+            deep_cache: int | None = None) -> CompiledUNet:
+    """The one-call API promised by the reference README (`model = compile(model)`).
+
+    ``deep_cache=N`` (draft knob — DeepCache, Ma et al. 2023): full UNet
+    every N-th step, only the outermost level (splicing the carried
+    deep-feature cache) in between; generation boundaries are auto-detected
+    from the descending timestep schedule (or call ``reset_deep_cache()``)."""
+    return CompiledUNet(torch_unet, compile_config, deep_cache=deep_cache)

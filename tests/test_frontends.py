@@ -110,6 +110,43 @@ def test_diffusers_wrapper_return_dict_false():
     assert isinstance(out, tuple) and out[0].shape == (1, 4, 16, 16)
 
 
+def test_diffusers_drop_in_deep_cache():
+    """compile(unet, deep_cache=N) on the step-at-a-time surface: the first
+    (full) step matches the exact wrapper; cached steps reuse the carried
+    deep feature; a timestep jump back up resets (new generation)."""
+    from stabletriton_tpu.frontends import diffusers as fe
+
+    cfg = tiny_unet_config()
+    fake = FakeTorchUNet(cfg)
+    ccfg = CompileConfig(backend="reference", dtype="float32",
+                         donate_sample=False)
+    exact = fe.compile(fake, ccfg)
+    dc = fe.compile(fake, ccfg, deep_cache=2)
+    rng = np.random.default_rng(3)
+    kw = dict(
+        added_cond_kwargs={"text_embeds": torch.zeros(1, 16),
+                           "time_ids": torch.zeros(1, 6)},
+    )
+
+    def sample():
+        return torch.from_numpy(
+            rng.standard_normal((1, 4, 16, 16)).astype(np.float32))
+
+    s0, s1 = sample(), sample()
+    # step 0 (full) must equal the exact wrapper bit-for-bit
+    a = dc(s0.clone(), 500, torch.zeros(1, 7, cfg.cross_attention_dim), **kw)
+    e = exact(s0.clone(), 500, torch.zeros(1, 7, cfg.cross_attention_dim), **kw)
+    np.testing.assert_allclose(a.sample.numpy(), e.sample.numpy(), atol=1e-5)
+    # step 1 (shallow, stale cache) differs from the exact forward
+    b = dc(s1.clone(), 400, torch.zeros(1, 7, cfg.cross_attention_dim), **kw)
+    e1 = exact(s1.clone(), 400, torch.zeros(1, 7, cfg.cross_attention_dim), **kw)
+    assert not np.allclose(b.sample.numpy(), e1.sample.numpy())
+    assert np.isfinite(b.sample.numpy()).all()
+    # timestep jumps back up -> new generation -> full step again
+    c = dc(s0.clone(), 500, torch.zeros(1, 7, cfg.cross_attention_dim), **kw)
+    np.testing.assert_allclose(c.sample.numpy(), e.sample.numpy(), atol=1e-5)
+
+
 def test_comfyui_node_registry_importable():
     from stabletriton_tpu.frontends import comfyui
 
