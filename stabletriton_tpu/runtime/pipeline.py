@@ -59,6 +59,26 @@ def _ancestral_noise(keys, steps: int, shape) -> jnp.ndarray:
     return jnp.swapaxes(jax.vmap(per_image)(keys), 0, 1)
 
 
+def _decode_images(vae_config, vae_params, latents) -> jnp.ndarray:
+    """VAE decode (fp32 for stability), clipped to [-1, 1].
+
+    For batch > 1 the decode runs image-by-image under ``lax.map``: the
+    decoder's full-resolution feature maps cost ~GBs of HBM per 1024² image,
+    so a batched decode scales peak memory linearly with batch (a batch-4
+    1024² txt2img compiles to 22 GB — over the 16 GB v5e). Per-image decode
+    restores the single-image peak at no throughput cost: the decode is a
+    brief bandwidth-bound tail and the images are independent."""
+    lat = latents.astype(jnp.float32)
+    if lat.shape[0] == 1:
+        img = vae_mod.vae_decode(vae_config, vae_params, lat)
+    else:
+        img = jax.lax.map(
+            lambda z: vae_mod.vae_decode(vae_config, vae_params, z[None])[0],
+            lat,
+        )
+    return jnp.clip(img, -1.0, 1.0)
+
+
 def _seed_vector(seed, batch: int) -> jnp.ndarray:
     """int -> (batch,) uint32 seeds (seed+i per image); arrays pass through."""
     arr = np.asarray(seed)
@@ -272,12 +292,7 @@ class SDXLPipeline:
 
                 if return_latents:
                     return latents
-                # --- VAE decode (fp32 for stability) ---
-                vae_params = params["vae"]
-                img = vae_mod.vae_decode(
-                    self.vae_config, vae_params, latents.astype(jnp.float32)
-                )
-                return jnp.clip(img, -1.0, 1.0)
+                return _decode_images(self.vae_config, params["vae"], latents)
 
         return jax.jit(program)
 
@@ -462,10 +477,7 @@ class SDXLPipeline:
                 else:
                     latents = loop(params["unet"], latents, ctx, pooled,
                                    time_ids, extra)
-                img = vae_mod.vae_decode(
-                    self.vae_config, params["vae"], latents.astype(jnp.float32)
-                )
-                return jnp.clip(img, -1.0, 1.0)
+                return _decode_images(self.vae_config, params["vae"], latents)
 
         return jax.jit(program)
 
@@ -606,10 +618,7 @@ class SDXLPipeline:
                     latents = loop(params["unet"], latents, ctx, pooled, time_ids)
                 if not decode:
                     return latents
-                img = vae_mod.vae_decode(
-                    self.vae_config, params["vae"], latents.astype(jnp.float32)
-                )
-                return jnp.clip(img, -1.0, 1.0)
+                return _decode_images(self.vae_config, params["vae"], latents)
 
         return jax.jit(program)
 
