@@ -72,6 +72,20 @@ def _maxsub() -> bool:
     return os.environ.get("ST_SOFTMAX_MAXSUB", "") not in ("", "0")
 
 
+def _mxu_lsum() -> bool:
+    """Experimental (A/B, trace-time): compute the softmax denominator as a
+    dot with ones on the MXU instead of a VPU row-sum. The packed kernels
+    are VPU-bound (min+exp2+sum+cast per score element vs two MXU dots that
+    finish early); moving the sum to the under-used MXU trades ~1 VPU
+    op/element for one extra PV-sized bf16 dot. Numerics: the denominator
+    then sums the SAME bf16-cast p the numerator multiplies — the
+    quantization is common-mode and partially cancels under the o/l divide
+    (the f32-sum form normalizes bf16 weights by an f32 denominator)."""
+    import os
+
+    return os.environ.get("ST_MXU_LSUM", "") not in ("", "0")
+
+
 def _plain_softmax_num(s):
     """exp2 numerator of the shift-free (or max-subtracting) softmax."""
     if _maxsub():
@@ -198,6 +212,7 @@ def _packed_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, head_dim,
     pack = q.shape[1] // head_dim
     if kv_len != block_k:
         col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], block_k), 1)
+    mxu_lsum = _mxu_lsum()
     outs = []
     for i in range(pack):
         sl = slice(i * head_dim, (i + 1) * head_dim)
@@ -208,9 +223,19 @@ def _packed_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, head_dim,
         if kv_len != block_k:
             s = jnp.where(col < kv_len, s, NEG_INF)
         p = _plain_softmax_num(s)
-        l = jnp.sum(p, axis=1, keepdims=True)
+        p16 = p.astype(v.dtype)
+        if mxu_lsum:
+            # denominator on the MXU (see _mxu_lsum): dot with ones gives
+            # (bq, d) — already broadcast for the elementwise divide
+            l = jax.lax.dot_general(
+                p16, jnp.ones((p16.shape[1], head_dim), p16.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            p16, v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         outs.append(o / l.clip(1e-30))
@@ -251,6 +276,7 @@ def _packed_flash_kernel(
                + kv_idx * block_k)
 
     maxsub = _maxsub()
+    mxu_lsum = not maxsub and _mxu_lsum()
     m_prev = m_ref[...] if maxsub else None
     alphas, m_news, p_sums, os = [], [], [], []
     for i in range(pack):
@@ -271,11 +297,20 @@ def _packed_flash_kernel(
         else:
             # shift-free (see SOFTMAX_CLIP): no running max, no rescales
             p = jnp.exp2(jnp.minimum(s, SOFTMAX_CLIP))
-        p_sums.append(jnp.broadcast_to(
-            jnp.sum(p, axis=1, keepdims=True), (q.shape[0], head_dim)
-        ))
+        p16 = p.astype(v.dtype)
+        if mxu_lsum:
+            # denominator on the MXU (see _mxu_lsum)
+            p_sums.append(jax.lax.dot_general(
+                p16, jnp.ones((p16.shape[1], head_dim), p16.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        else:
+            p_sums.append(jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), (q.shape[0], head_dim)
+            ))
         os.append(jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            p16, v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ))
 
