@@ -178,11 +178,28 @@ class SDXLPipeline:
         return unet_step, (kv_pre if use_kv else None), (
             time_pre if use_tc else None)
 
-    def _deep_cache_tuple(self, deep_cache, lat_h, lat_w):
-        """make_denoise_loop's ``deep_cache`` arg for interval ``deep_cache``:
-        unet_step-shaped full/shallow fns plus the cache's static (H, W, C)."""
+    @staticmethod
+    def _norm_deep_cache(deep_cache):
+        """Normalize the user knob to (interval, depth) or None.
+
+        ``deep_cache=N`` caches at depth 1 (the classic DeepCache split —
+        shallow steps are attention-free on SDXL); ``deep_cache=(N, d)``
+        recomputes the outermost ``d`` levels instead (more quality, less
+        speedup — d=2 keeps SDXL's 640-channel attention level live)."""
         if deep_cache is None:
             return None
+        if isinstance(deep_cache, (tuple, list)):
+            interval, depth = deep_cache
+            return (int(interval), int(depth))
+        return (int(deep_cache), 1)
+
+    def _deep_cache_tuple(self, deep_cache, lat_h, lat_w):
+        """make_denoise_loop's ``deep_cache`` arg for a normalized
+        (interval, depth) knob: unet_step-shaped full/shallow fns plus the
+        cache's static (H, W, C)."""
+        if deep_cache is None:
+            return None
+        interval, depth = deep_cache
         ucfg = self.unet_config
         use_kv = self.compile_config.cache_cross_kv
 
@@ -191,17 +208,18 @@ class SDXLPipeline:
             ctx, kv = (None, cond) if use_kv else (cond, None)
             return unet_apply(ucfg, unet_params, sample, t, ctx, text_embeds,
                               time_ids, cross_kv=kv, time_cond=tc,
-                              return_cache=True)
+                              return_cache=True, cache_depth=depth)
 
         def shallow_fn(unet_params, sample, t, cond, text_embeds, time_ids,
                        tc, cache):
             ctx, kv = (None, cond) if use_kv else (cond, None)
             return unet_apply_shallow(ucfg, unet_params, sample, t, ctx,
                                       text_embeds, time_ids, cache,
-                                      cross_kv=kv, time_cond=tc)
+                                      cross_kv=kv, time_cond=tc,
+                                      cache_depth=depth)
 
-        hwc = deep_cache_shape(ucfg, 1, lat_h, lat_w)[1:]
-        return (int(deep_cache), full_fn, shallow_fn, hwc)
+        hwc = deep_cache_shape(ucfg, 1, lat_h, lat_w, cache_depth=depth)[1:]
+        return (interval, full_fn, shallow_fn, hwc)
 
     # ------------------------------------------------------------------
     def _build(self, *, batch, height, width, steps, guidance_scale, solver,
@@ -312,7 +330,7 @@ class SDXLPipeline:
         seed: int = 0,
         return_latents: bool = False,
         guidance_interval: tuple[float, float] | None = None,
-        deep_cache: int | None = None,
+        deep_cache: int | tuple[int, int] | None = None,
     ):
         """Generate images; returns (B, height, width, 3) in [-1, 1]
         (or final latents if return_latents).
@@ -324,7 +342,9 @@ class SDXLPipeline:
         ``deep_cache=N`` (draft knob — DeepCache, Ma et al. 2023): run the
         full UNet every N-th step and only the outermost level (splicing the
         carried deep-feature cache) in between. N=2/3 keep quality close;
-        mutually exclusive with guidance_interval."""
+        ``deep_cache=(N, depth)`` recomputes the outermost ``depth`` levels
+        instead (more quality, less speedup). Mutually exclusive with
+        guidance_interval."""
         self._check_resolution(height, width)
         batch = int(ids1.shape[0])
         # missing negative prompt == the empty prompt "" (BOS/EOS/pad), exactly
@@ -340,7 +360,7 @@ class SDXLPipeline:
             )
         gi = (None if guidance_interval is None
               else (float(guidance_interval[0]), float(guidance_interval[1])))
-        dc = None if deep_cache is None else int(deep_cache)
+        dc = self._norm_deep_cache(deep_cache)
         sig = (batch, height, width, steps, float(guidance_scale), solver,
                return_latents, gi, dc)
         fn = self._cache.get(sig)
@@ -378,7 +398,7 @@ class SDXLPipeline:
         solver: str = "euler",
         seed: int = 0,
         guidance_interval: tuple[float, float] | None = None,
-        deep_cache: int | None = None,
+        deep_cache: int | tuple[int, int] | None = None,
     ):
         """Inpainting with a 9-channel SDXL-inpaint UNet (in_channels = 4 noisy +
         1 mask + 4 masked-image latents). Requires encoder params under
@@ -401,7 +421,7 @@ class SDXLPipeline:
             )
         gi = (None if guidance_interval is None
               else (float(guidance_interval[0]), float(guidance_interval[1])))
-        dc = None if deep_cache is None else int(deep_cache)
+        dc = self._norm_deep_cache(deep_cache)
         sig = ("inpaint", batch, height, width, steps, float(guidance_scale),
                solver, gi, dc)
         fn = self._cache.get(sig)
@@ -638,7 +658,7 @@ class SDXLPipeline:
         aesthetic_scores: tuple[float, float] = (2.5, 6.0),  # (uncond, cond)
         decode: bool = True,
         guidance_interval: tuple[float, float] | None = None,
-        deep_cache: int | None = None,
+        deep_cache: int | tuple[int, int] | None = None,
     ):
         """Refine existing latents (SDXL refiner / img2img): re-noise to the
         strength point of the schedule and denoise the remaining steps.
@@ -655,7 +675,7 @@ class SDXLPipeline:
             )
         gi = (None if guidance_interval is None
               else (float(guidance_interval[0]), float(guidance_interval[1])))
-        dc = None if deep_cache is None else int(deep_cache)
+        dc = self._norm_deep_cache(deep_cache)
         sig = ("i2i", batch, lat_h, lat_w, steps, start, float(guidance_scale),
                solver, aesthetic_scores, decode, gi, dc)
         fn = self._cache.get(sig)

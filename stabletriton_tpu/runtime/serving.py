@@ -40,7 +40,7 @@ class Request:
     # draft-mode knobs (see SDXLPipeline.txt2img) — part of the batching
     # signature: requests only share a program if they sample identically
     guidance_interval: tuple[float, float] | None = None
-    deep_cache: int | None = None
+    deep_cache: int | tuple[int, int] | None = None
 
     @property
     def signature(self):

@@ -50,6 +50,61 @@ def test_shallow_parity_with_full_pass():
                                atol=1e-6)
 
 
+def test_shallow_parity_depth2():
+    """cache_depth=2 on a 3-level UNet: the split point moves one level
+    deeper (shallow pass keeps the middle level's attention live)."""
+    from stabletriton_tpu.models.unet import UNetConfig
+
+    cfg = UNetConfig(
+        block_out_channels=(32, 48, 64),
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D",
+                          "CrossAttnDownBlock2D"),
+        layers_per_block=1,
+        transformer_layers_per_block=(1, 1, 1),
+        attention_head_dim=16,
+        cross_attention_dim=32,
+        norm_num_groups=8,
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=8 * 6 + 16,
+    )
+    params = init_unet_params(cfg, 5)
+    rng = np.random.default_rng(9)
+    b, hw = 2, 16
+    sample = jnp.asarray(rng.standard_normal((b, hw, hw, 4)), jnp.float32)
+    t = jnp.full((b,), 300.0, jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, 7, 32)), jnp.float32)
+    te = jnp.asarray(rng.standard_normal((b, 16)), jnp.float32)
+    tid = jnp.asarray(np.tile([hw * 2, hw * 2, 0, 0, hw * 2, hw * 2], (b, 1)),
+                      jnp.float32)
+    for depth in (1, 2):
+        eps_full, cache = unet_apply(cfg, params, sample, t, ctx, te, tid,
+                                     return_cache=True, cache_depth=depth)
+        assert cache.shape == deep_cache_shape(cfg, b, hw, hw, depth)
+        eps_shallow = unet_apply_shallow(cfg, params, sample, t, ctx, te,
+                                         tid, cache, cache_depth=depth)
+        np.testing.assert_allclose(np.asarray(eps_shallow),
+                                   np.asarray(eps_full), atol=1e-6)
+
+
+def test_txt2img_deep_cache_tuple_form():
+    """deep_cache=(N, 1) is the same knob as deep_cache=N (shared program)."""
+    from stabletriton_tpu.runtime.pipeline import make_tiny_pipeline
+
+    pipe = make_tiny_pipeline()
+    s = pipe.clip_config.max_position_embeddings
+    ids = np.full((1, s), 5, np.int32)
+    ids[:, 0] = 1
+    ids[:, -1] = 99
+    ids = jnp.asarray(ids)
+    a = pipe.txt2img(ids, ids, height=32, width=32, steps=3, seed=7,
+                     deep_cache=2)
+    n = len(pipe.cache_signatures())
+    b = pipe.txt2img(ids, ids, height=32, width=32, steps=3, seed=7,
+                     deep_cache=(2, 1))
+    assert len(pipe.cache_signatures()) == n  # cache hit, not a new program
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_shallow_reuses_stale_cache():
     """A cache from a different timestep gives a different (finite) eps —
     the DeepCache approximation, not a crash or a silent zero."""
