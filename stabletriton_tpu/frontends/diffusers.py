@@ -65,16 +65,53 @@ class CompiledUNet:
         # as host-side state instead of a scan carry. Draft semantics
         # (outside the exactness gate), like the native pipeline's knob.
         self.deep_cache = None if deep_cache is None else int(deep_cache)
+        if self.deep_cache is not None and self.deep_cache < 1:
+            raise ValueError(f"deep_cache interval must be >= 1: {deep_cache}")
         if self.deep_cache is not None:
             self._dc_full, self._dc_shallow = compile_unet_deepcache(
                 self.unet_config, self.compile_config
             )
-        self._dc_state = None  # (step_idx, cache, last_t)
+        # (step_idx, last_t, caches-per-call-slot, call_pos) — a scheduler
+        # STEP can span several UNet calls (ComfyUI may run cond and uncond
+        # as separate calls at the same timestep), so the step index advances
+        # on timestep CHANGE and each call position within a step carries its
+        # own cache slot (the call order per step is deterministic in every
+        # frontend's loop)
+        self._dc_state = None
 
     def reset_deep_cache(self):
-        """Forget the carried cache (call between generations; auto-detected
-        when the timestep jumps back up — schedules are descending)."""
+        """Forget the carried cache. Called automatically when the timestep
+        jumps back up (schedules are descending) or the sample shape changes;
+        call it explicitly when aborting a generation mid-loop and starting
+        another whose first timestep is not higher than the aborted one's
+        last (e.g. aborted txt2img -> img2img)."""
         self._dc_state = None
+
+    def _deep_cache_call(self, s, t, ehs, te, ti):
+        """One UNet call under DeepCache host-side state (see __init__)."""
+        t_now = float(np.asarray(t)[0])
+        st = self._dc_state
+        if st is not None and (t_now > st[1]
+                               or st[2][0].shape[0] != s.shape[0]):
+            st = None  # new generation (t jumped back up / batch changed)
+        if st is None:
+            step_idx, caches, call_pos = 0, [], 0
+        else:
+            step_idx, _, caches, call_pos = st
+            if t_now != st[1]:
+                step_idx, call_pos = step_idx + 1, 0
+        full = step_idx % self.deep_cache == 0 or call_pos >= len(caches)
+        if full:
+            out, cache = self._dc_full(self.params, s, t, ehs, te, ti)
+            if call_pos < len(caches):
+                caches[call_pos] = cache
+            else:
+                caches.append(cache)
+        else:
+            out = self._dc_shallow(self.params, s, t, ehs, te, ti,
+                                   caches[call_pos])
+        self._dc_state = (step_idx, t_now, caches, call_pos + 1)
+        return out
 
     @property
     def dtype(self):
@@ -132,17 +169,7 @@ class CompiledUNet:
         if self.deep_cache is None:
             out = self._fn(self.params, s, t, ehs, te, ti)
         else:
-            t_now = float(np.asarray(t)[0])
-            if self._dc_state is not None and t_now > self._dc_state[2]:
-                # timestep jumped back up: a new generation started
-                self._dc_state = None
-            if self._dc_state is None or self._dc_state[0] % self.deep_cache == 0:
-                out, cache = self._dc_full(self.params, s, t, ehs, te, ti)
-            else:
-                cache = self._dc_state[1]
-                out = self._dc_shallow(self.params, s, t, ehs, te, ti, cache)
-            idx = 0 if self._dc_state is None else self._dc_state[0]
-            self._dc_state = (idx + 1, cache, t_now)
+            out = self._deep_cache_call(s, t, ehs, te, ti)
         out_t = torch.from_numpy(
             np.asarray(out.astype(jnp.float32)).transpose(0, 3, 1, 2).copy()
         ).to(sample.dtype)

@@ -59,23 +59,30 @@ def _ancestral_noise(keys, steps: int, shape) -> jnp.ndarray:
     return jnp.swapaxes(jax.vmap(per_image)(keys), 0, 1)
 
 
-def _decode_images(vae_config, vae_params, latents) -> jnp.ndarray:
+def _decode_images(vae_config, vae_params, latents, chunk: int = 1) -> jnp.ndarray:
     """VAE decode (fp32 for stability), clipped to [-1, 1].
 
-    For batch > 1 the decode runs image-by-image under ``lax.map``: the
-    decoder's full-resolution feature maps cost ~GBs of HBM per 1024² image,
-    so a batched decode scales peak memory linearly with batch (a batch-4
-    1024² txt2img compiles to 22 GB — over the 16 GB v5e). Per-image decode
-    restores the single-image peak at no throughput cost: the decode is a
-    brief bandwidth-bound tail and the images are independent."""
+    For batch > chunk the decode runs ``chunk`` images at a time under
+    ``lax.map``: the decoder's full-resolution feature maps cost ~GBs of HBM
+    per 1024² image, so a fully batched decode scales peak memory linearly
+    with batch (a batch-4 1024² txt2img compiles to 22 GB — over the 16 GB
+    v5e). Chunked decode restores the chunk-sized peak at no throughput cost
+    (the decode is a brief bandwidth-bound tail of independent images).
+
+    ``chunk`` is the data-parallel mesh axis size (1 off-mesh): a sharded
+    batch holds batch/chunk images PER DEVICE, so each lax.map iteration
+    decodes one image per device concurrently — mapping per-image there
+    would serialize work the mesh runs in parallel."""
     lat = latents.astype(jnp.float32)
-    if lat.shape[0] == 1:
+    b = lat.shape[0]
+    if b <= chunk or b % chunk != 0:
         img = vae_mod.vae_decode(vae_config, vae_params, lat)
     else:
         img = jax.lax.map(
-            lambda z: vae_mod.vae_decode(vae_config, vae_params, z[None])[0],
-            lat,
+            lambda z: vae_mod.vae_decode(vae_config, vae_params, z),
+            lat.reshape(b // chunk, chunk, *lat.shape[1:]),
         )
+        img = img.reshape(b, *img.shape[2:])
     return jnp.clip(img, -1.0, 1.0)
 
 
@@ -137,6 +144,15 @@ class SDXLPipeline:
                 group: mesh_mod.shard_params(p, self.mesh)
                 for group, p in self.params.items()
             }
+
+    def _decode_chunk(self) -> int:
+        """Images decoded per lax.map iteration: the data-axis size (each
+        device decodes its one local image per iteration); 1 off-mesh."""
+        if self.mesh is None:
+            return 1
+        from stabletriton_tpu.runtime import mesh as mesh_mod
+
+        return int(self.mesh.shape[mesh_mod.DATA_AXIS])
 
     def _shard_batch(self, *arrays):
         """device_put call inputs with leading-axis ("data") sharding."""
@@ -310,7 +326,8 @@ class SDXLPipeline:
 
                 if return_latents:
                     return latents
-                return _decode_images(self.vae_config, params["vae"], latents)
+                return _decode_images(self.vae_config, params["vae"], latents,
+                                      chunk=self._decode_chunk())
 
         return jax.jit(program)
 
@@ -497,7 +514,8 @@ class SDXLPipeline:
                 else:
                     latents = loop(params["unet"], latents, ctx, pooled,
                                    time_ids, extra)
-                return _decode_images(self.vae_config, params["vae"], latents)
+                return _decode_images(self.vae_config, params["vae"], latents,
+                                      chunk=self._decode_chunk())
 
         return jax.jit(program)
 
@@ -638,7 +656,8 @@ class SDXLPipeline:
                     latents = loop(params["unet"], latents, ctx, pooled, time_ids)
                 if not decode:
                     return latents
-                return _decode_images(self.vae_config, params["vae"], latents)
+                return _decode_images(self.vae_config, params["vae"], latents,
+                                      chunk=self._decode_chunk())
 
         return jax.jit(program)
 

@@ -44,8 +44,16 @@ class Request:
 
     @property
     def signature(self):
+        # normalize deep_cache like SDXLPipeline._norm_deep_cache so
+        # deep_cache=2 and deep_cache=(2, 1) requests co-batch (they share
+        # one compiled program)
+        dc = self.deep_cache
+        if isinstance(dc, (tuple, list)):
+            dc = (int(dc[0]), int(dc[1]))
+        elif dc is not None:
+            dc = (int(dc), 1)
         return (self.height, self.width, self.steps, self.guidance_scale,
-                self.solver, self.guidance_interval, self.deep_cache)
+                self.solver, self.guidance_interval, dc)
 
 
 def _bucket(n: int, buckets=_BUCKETS) -> int:

@@ -147,6 +147,66 @@ def test_diffusers_drop_in_deep_cache():
     np.testing.assert_allclose(c.sample.numpy(), e.sample.numpy(), atol=1e-5)
 
 
+def test_diffusers_deep_cache_multi_call_per_step():
+    """Frontends may run cond and uncond as SEPARATE UNet calls at the same
+    timestep (ComfyUI's two-pass CFG): the step index must advance on
+    timestep CHANGE, and each call position within a step must carry its own
+    cache slot — never splicing one stream's cache into the other."""
+    from stabletriton_tpu.compile import compile_unet_deepcache
+    from stabletriton_tpu.frontends import diffusers as fe
+
+    cfg = tiny_unet_config()
+    fake = FakeTorchUNet(cfg)
+    ccfg = CompileConfig(backend="reference", dtype="float32",
+                         donate_sample=False)
+    dc = fe.compile(fake, ccfg, deep_cache=2)
+    full, shallow = compile_unet_deepcache(cfg, ccfg)
+    import jax.numpy as jnp
+    params = dc.params
+
+    rng = np.random.default_rng(4)
+    ctx = torch.zeros(1, 7, cfg.cross_attention_dim)
+    kw = dict(added_cond_kwargs={"text_embeds": torch.zeros(1, 16),
+                                 "time_ids": torch.zeros(1, 6)})
+
+    def s():
+        return torch.from_numpy(
+            rng.standard_normal((1, 4, 16, 16)).astype(np.float32))
+
+    def to_jax(x):
+        return jnp.asarray(np.asarray(x).transpose(0, 2, 3, 1))
+
+    zeros = (jnp.zeros((1, 7, cfg.cross_attention_dim)), jnp.zeros((1, 16)),
+             jnp.zeros((1, 6)))
+    # step 0 at t=500: two calls (streams A and B), both full
+    a0, b0 = s(), s()
+    dc(a0.clone(), 500, ctx, **kw)
+    dc(b0.clone(), 500, ctx, **kw)
+    _, cache_a = full(params, to_jax(a0), jnp.full((1,), 500.0), *zeros)
+    _, cache_b = full(params, to_jax(b0), jnp.full((1,), 500.0), *zeros)
+    # step 1 at t=400: two shallow calls, each must use ITS OWN stream's cache
+    a1, b1 = s(), s()
+    out_a = dc(a1.clone(), 400, ctx, **kw)
+    out_b = dc(b1.clone(), 400, ctx, **kw)
+    want_a = shallow(params, to_jax(a1), jnp.full((1,), 400.0), *zeros, cache_a)
+    want_b = shallow(params, to_jax(b1), jnp.full((1,), 400.0), *zeros, cache_b)
+    np.testing.assert_allclose(
+        out_a.sample.numpy(),
+        np.asarray(want_a).transpose(0, 3, 1, 2), atol=1e-5)
+    np.testing.assert_allclose(
+        out_b.sample.numpy(),
+        np.asarray(want_b).transpose(0, 3, 1, 2), atol=1e-5)
+    # a cross-wired implementation would have used cache_a for stream B
+    wrong_b = shallow(params, to_jax(b1), jnp.full((1,), 400.0), *zeros, cache_a)
+    assert not np.allclose(out_b.sample.numpy(),
+                           np.asarray(wrong_b).transpose(0, 3, 1, 2))
+
+    # invalid intervals are rejected up front, not at step 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="deep_cache"):
+        fe.compile(fake, ccfg, deep_cache=0)
+
+
 def test_comfyui_node_registry_importable():
     from stabletriton_tpu.frontends import comfyui
 

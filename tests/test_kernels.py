@@ -256,6 +256,32 @@ def test_fused_attention_ops_dispatch():
     np.testing.assert_allclose(np.asarray(o2), np.asarray(r2), atol=1e-3)
 
 
+def test_mxu_lsum_parity(monkeypatch):
+    """ST_MXU_LSUM=1 (softmax denominator as a dot-with-ones on the MXU)
+    must stay inside the 1e-3 gate vs the jnp reference AND close to the
+    default VPU-sum form — the denominator then sums the same bf16 p the
+    numerator uses. Single-KV and online packed paths, incl. padded keys."""
+    rng = np.random.default_rng(33)
+    for sq, sk, bq, bk in [(128, 200, 64, 256), (128, 300, 64, 128)]:
+        q = jnp.asarray(rng.standard_normal((1, sq, 128), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((1, sk, 128), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((1, sk, 128), dtype=np.float32))
+        monkeypatch.delenv("ST_MXU_LSUM", raising=False)
+        base = flash_attention(q, k, v, num_heads=2, block_q=bq, block_k=bk,
+                               variant="packed")
+        monkeypatch.setenv("ST_MXU_LSUM", "1")
+        flash_attention._clear_cache()  # env read at trace time
+        lsum = flash_attention(q, k, v, num_heads=2, block_q=bq, block_k=bk,
+                               variant="packed")
+        flash_attention._clear_cache()
+        monkeypatch.delenv("ST_MXU_LSUM", raising=False)
+        want = ops.attention(q, k, v, num_heads=2)
+        np.testing.assert_allclose(np.asarray(lsum), np.asarray(want),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(lsum), np.asarray(base),
+                                   atol=5e-3)
+
+
 def test_shift_free_softmax_matches_maxsub(monkeypatch):
     """The default shift-free softmax must match the max-subtracting escape
     hatch (ST_SOFTMAX_MAXSUB=1) — softmax is shift-invariant, the clip at 80
