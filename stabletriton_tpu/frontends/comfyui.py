@@ -112,10 +112,21 @@ class StableTritonTPUTxt2Img:
                 "cfg": ("FLOAT", {"default": 5.0, "min": 0.0, "max": 30.0}),
                 "seed": ("INT", {"default": 0}),
                 "solver": (["euler", "heun", "dpmpp_2m"], {"default": "euler"}),
-            }
+            },
+            "optional": {
+                # draft knobs (see SDXLPipeline.txt2img): DeepCache interval
+                # (0 = off) and depth; CFG-only-inside-sigma-window bounds
+                # (both 0 = off)
+                "deep_cache": ("INT", {"default": 0, "min": 0, "max": 10}),
+                "deep_cache_depth": ("INT", {"default": 1, "min": 1, "max": 3}),
+                "gi_sigma_lo": ("FLOAT", {"default": 0.0, "min": 0.0}),
+                "gi_sigma_hi": ("FLOAT", {"default": 0.0, "min": 0.0}),
+            },
         }
 
-    def generate(self, pipeline, ids1, ids2, width, height, steps, cfg, seed, solver):
+    def generate(self, pipeline, ids1, ids2, width, height, steps, cfg, seed,
+                 solver, deep_cache=0, deep_cache_depth=1,
+                 gi_sigma_lo=0.0, gi_sigma_hi=0.0):
         import jax.numpy as jnp
 
         img = pipeline.txt2img(
@@ -123,6 +134,9 @@ class StableTritonTPUTxt2Img:
             jnp.asarray(np.asarray(ids2, np.int32)),
             height=height, width=width, steps=steps,
             guidance_scale=cfg, seed=seed, solver=solver,
+            deep_cache=((deep_cache, deep_cache_depth) if deep_cache else None),
+            guidance_interval=((gi_sigma_lo, gi_sigma_hi)
+                               if gi_sigma_hi > 0 else None),
         )
         # ComfyUI IMAGE convention: float32 [0,1], (B, H, W, C)
         return (np.asarray((img + 1.0) * 0.5, dtype=np.float32),)
