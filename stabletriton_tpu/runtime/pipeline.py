@@ -378,7 +378,18 @@ class SDXLPipeline:
         gi = (None if guidance_interval is None
               else (float(guidance_interval[0]), float(guidance_interval[1])))
         dc = self._norm_deep_cache(deep_cache)
-        sig = (batch, height, width, steps, float(guidance_scale), solver,
+        fn = self._txt2img_program(batch, height, width, steps,
+                                   float(guidance_scale), solver,
+                                   return_latents, gi, dc)
+        ids1, ids2, neg_ids1, neg_ids2, seeds = self._shard_batch(
+            ids1, ids2, neg_ids1, neg_ids2, _seed_vector(seed, batch)
+        )
+        return fn(self.params, ids1, ids2, neg_ids1, neg_ids2, seeds)
+
+    def _txt2img_program(self, batch, height, width, steps, guidance_scale,
+                         solver, return_latents, gi, dc):
+        """Get-or-build the jitted txt2img program for one signature."""
+        sig = (batch, height, width, steps, guidance_scale, solver,
                return_latents, gi, dc)
         fn = self._cache.get(sig)
         if fn is None:
@@ -391,15 +402,47 @@ class SDXLPipeline:
                     _logger.info("compiling txt2img program for signature %s", sig)
                     fn = self._build(
                         batch=batch, height=height, width=width, steps=steps,
-                        guidance_scale=float(guidance_scale), solver=solver,
+                        guidance_scale=guidance_scale, solver=solver,
                         return_latents=return_latents, guidance_interval=gi,
                         deep_cache=dc,
                     )
                     self._cache[sig] = fn
-        ids1, ids2, neg_ids1, neg_ids2, seeds = self._shard_batch(
-            ids1, ids2, neg_ids1, neg_ids2, _seed_vector(seed, batch)
-        )
-        return fn(self.params, ids1, ids2, neg_ids1, neg_ids2, seeds)
+        return fn
+
+    def warmup(
+        self,
+        *,
+        batch: int = 1,
+        height: int = 1024,
+        width: int = 1024,
+        steps: int = 30,
+        guidance_scale: float = 5.0,
+        solver: str = "euler",
+        guidance_interval: tuple[float, float] | None = None,
+        deep_cache: int | tuple[int, int] | None = None,
+        prompt_len: int | None = None,
+    ) -> None:
+        """Ahead-of-time compile one txt2img signature (serving cold-start
+        elimination: a new signature otherwise pays its trace+compile —
+        minutes on a remote-compile platform — on the first request).
+
+        Traces and compiles via jax AOT (``lower().compile()``) WITHOUT
+        executing a generation; with the persistent compile cache (default
+        on) the executable also lands on disk for future processes."""
+        self._check_resolution(height, width)
+        gi = (None if guidance_interval is None
+              else (float(guidance_interval[0]), float(guidance_interval[1])))
+        dc = self._norm_deep_cache(deep_cache)
+        fn = self._txt2img_program(batch, height, width, steps,
+                                   float(guidance_scale), solver, False,
+                                   gi, dc)
+        mp1 = prompt_len or self.clip_config.max_position_embeddings
+        mp2 = prompt_len or self.clip2_config.max_position_embeddings
+        ids1 = jnp.zeros((batch, mp1), jnp.int32)
+        ids2 = jnp.zeros((batch, mp2), jnp.int32)
+        seeds = jnp.zeros((batch,), jnp.uint32)
+        args = self._shard_batch(ids1, ids2, ids1, ids2, seeds)
+        fn.lower(self.params, *args).compile()
 
     def inpaint(
         self,

@@ -93,6 +93,19 @@ def test_jit_cache_signatures(pipe):
     assert len(pipe.cache_signatures()) == n + 1
 
 
+def test_warmup_precompiles_signature(pipe):
+    """warmup() AOT-compiles a signature without generating; the later real
+    request reuses the cached program entry (serving cold-start path)."""
+    pipe.warmup(batch=1, height=32, width=32, steps=5)
+    n = len(pipe.cache_signatures())
+    assert any(s[3] == 5 for s in pipe.cache_signatures())
+    ids1, ids2 = _ids(pipe)
+    img = pipe.txt2img(ids1, ids2, height=32, width=32, steps=5, seed=3)
+    assert len(pipe.cache_signatures()) == n  # no new program entry
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
 def test_txt2img_latents_path(pipe):
     ids1, ids2 = _ids(pipe)
     lat = pipe.txt2img(ids1, ids2, height=32, width=32, steps=2, seed=0,
