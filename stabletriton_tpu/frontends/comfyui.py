@@ -25,6 +25,11 @@ from typing import Any
 import numpy as np
 
 from stabletriton_tpu.compile import CompileConfig
+# ComfyUI's UNet calling convention (x, timesteps, context, y) IS the
+# CompVis/SGM convention (comfy.model_base.SDXL.encode_adm builds the same
+# raw 2816-wide adm ``y`` sgm's conditioner does), so the shim is shared
+# with the sgm/A1111 frontend.
+from stabletriton_tpu.frontends.sgm import CompVisUNetShim as _ComfyUNetShim
 
 
 class StableTritonTPUCompile:
@@ -61,37 +66,6 @@ class StableTritonTPUCompile:
         return (patched,)
 
 
-class _ComfyUNetShim:
-    """Adapts ComfyUI's UNet calling convention (x, timesteps, context, y)
-    to the compiled TPU step.
-
-    ComfyUI/SGM pass ``y``: the raw 2816-wide SDXL adm vector
-    ``concat(pooled_text 1280, fourier(time_ids) 6*256)`` built by
-    ``model_base.SDXL.encode_adm`` — NOT diffusers' separate
-    text_embeds/time_ids. The compiled UNet accepts this pre-projected form
-    directly (models/unet.unet_apply's SGM branch); the fourier layout
-    ([cos, sin], freq_shift 0) is identical between the two stacks."""
-
-    def __init__(self, compiled):
-        self.compiled = compiled
-        self.dtype = compiled.dtype
-
-    def __call__(self, x, timesteps=None, context=None, y=None, **kwargs):
-        added = kwargs.get("added_cond_kwargs")
-        if added is None:
-            if "text_embeds" in kwargs and "time_ids" in kwargs:
-                # diffusers-style kwargs routed through transformer_options
-                added = {"text_embeds": kwargs["text_embeds"],
-                         "time_ids": kwargs["time_ids"]}
-            elif y is not None:
-                # SGM convention: y IS the full add-embedding input
-                added = {"y": y}
-        out = self.compiled(
-            x, timesteps, context, added_cond_kwargs=added, return_dict=False
-        )
-        return out[0]
-
-
 class StableTritonTPUTxt2Img:
     """ComfyUI node: run the native whole-loop TPU pipeline, return an IMAGE."""
 
@@ -118,7 +92,9 @@ class StableTritonTPUTxt2Img:
                 # (0 = off) and depth; CFG-only-inside-sigma-window bounds
                 # (both 0 = off)
                 "deep_cache": ("INT", {"default": 0, "min": 0, "max": 10}),
-                "deep_cache_depth": ("INT", {"default": 1, "min": 1, "max": 3}),
+                # depth must stay < the UNet's level count (3 for SDXL —
+                # models/unet.deep_cache_shape validates with the real count)
+                "deep_cache_depth": ("INT", {"default": 1, "min": 1, "max": 2}),
                 "gi_sigma_lo": ("FLOAT", {"default": 0.0, "min": 0.0}),
                 "gi_sigma_hi": ("FLOAT", {"default": 0.0, "min": 0.0}),
             },

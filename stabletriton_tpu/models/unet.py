@@ -715,7 +715,12 @@ def deep_cache_shape(cfg: UNetConfig, batch: int, lat_h: int, lat_w: int,
     latent: it enters up block ``len(up) - cache_depth``, i.e. the output of
     the previous up block after its upsample — ``block_out_channels[depth]``
     channels at ``2^(depth-1)``-downsampled resolution."""
-    assert 1 <= cache_depth < len(cfg.block_out_channels), cache_depth
+    if not 1 <= cache_depth < len(cfg.block_out_channels):
+        raise ValueError(
+            f"deep_cache depth must be in [1, {len(cfg.block_out_channels) - 1}] "
+            f"for this {len(cfg.block_out_channels)}-level UNet, got "
+            f"{cache_depth}"
+        )
     s = cache_depth - 1
     return (batch, lat_h >> s, lat_w >> s, cfg.block_out_channels[cache_depth])
 

@@ -87,8 +87,15 @@ def make_denoise_loop(
     which recomputes only the outermost UNet level and splices the carried
     cache in — ~20x less work on SDXL. ``cache_hwc`` is the cache's static
     (H, W, C) from models/unet.deep_cache_shape; the cache rides the scan
-    carry. Mutually exclusive with ``guidance_interval``; composes with
-    ``guidance_scale <= 1``.
+    carry. Composes with ``guidance_scale <= 1`` and with
+    ``guidance_interval``: outside the guidance window only the conditional
+    branch runs (half batch), so a full step there refreshes only the cond
+    half of the carried cache — the uncond half stays as of the last
+    in-window full step (DeepCache's reuse-stale-features approximation,
+    applied per CFG branch). If the first in-window step is a shallow one
+    before any in-window full step ran, the uncond cache it splices is the
+    zeros init — pick the window/interval so an in-window step lands on a
+    full step early (step 0 is always full).
 
     Returned fn is pure; wrap in jit (pipeline.py does, with donation).
     """
@@ -97,8 +104,6 @@ def make_denoise_loop(
     num_steps = len(schedule.timesteps)
     g = float(guidance_scale)
     no_cfg = g <= 1.0
-    if deep_cache is not None and guidance_interval is not None:
-        raise ValueError("deep_cache and guidance_interval don't compose")
     if deep_cache is not None and int(deep_cache[0]) < 1:
         raise ValueError(f"deep_cache interval must be >= 1: {deep_cache[0]}")
 
@@ -189,6 +194,40 @@ def make_denoise_loop(
             eps = shallow_fn(params, inp, tt, ctx, text_embeds, time_ids,
                              tc, cache)
             return _combine(eps), cache
+
+        if guidance_interval is not None and not no_cfg:
+            # composed draft knobs: the interval cond picks doubled-vs-cond
+            # batch, the DeepCache cond picks full-vs-shallow — 4 branches.
+            # The carried cache stays CFG-doubled (uncond rows first); the
+            # cond-only branches read/refresh only its cond half.
+            lo, hi = guidance_interval
+            b = lat.shape[0]
+            inp1, tt1 = _prep(lat, t, sigma,
+                              None if extra is None else extra[b:], False)
+            ctx_c, te_c, tid_c, tc_c = (_half(ctx, b), _half(text_embeds, b),
+                                        _half(time_ids, b), _half(tc, b))
+
+            def full_cond(_):
+                eps, nc = full_fn(params, inp1, tt1, ctx_c, te_c, tid_c, tc_c)
+                return eps, jnp.concatenate(
+                    [cache[:b], nc.astype(cache.dtype)], axis=0)
+
+            def fast_cond(_):
+                eps = shallow_fn(params, inp1, tt1, ctx_c, te_c, tid_c, tc_c,
+                                 cache[b:])
+                return eps, cache
+
+            in_window = (sigma >= lo) & (sigma <= hi)
+            if int(interval) == 1:
+                return jax.lax.cond(in_window, full, full_cond, operand=None)
+            is_full = idx % int(interval) == 0
+            return jax.lax.cond(
+                in_window,
+                lambda _: jax.lax.cond(is_full, full, fast, operand=None),
+                lambda _: jax.lax.cond(is_full, full_cond, fast_cond,
+                                       operand=None),
+                operand=None,
+            )
 
         if int(interval) == 1:
             return full(None)

@@ -52,8 +52,15 @@ class Request:
             dc = (int(dc[0]), int(dc[1]))
         elif dc is not None:
             dc = (int(dc), 1)
-        return (self.height, self.width, self.steps, self.guidance_scale,
-                self.solver, self.guidance_interval, dc)
+        # normalize guidance_interval the same way (SDXLPipeline._norm_gi):
+        # a JSON-deserialized list would otherwise make the signature
+        # unhashable, int-vs-float bounds would split co-batchable requests,
+        # and an inert interval (g <= 1) would split them from plain no-CFG
+        g = float(self.guidance_scale)
+        gi = self.guidance_interval
+        gi = (None if gi is None or g <= 1.0
+              else (float(gi[0]), float(gi[1])))
+        return (self.height, self.width, self.steps, g, self.solver, gi, dc)
 
 
 def _bucket(n: int, buckets=_BUCKETS) -> int:

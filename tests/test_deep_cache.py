@@ -195,15 +195,87 @@ def test_loop_interval_one_matches_baseline():
         np.asarray(base({}, lat, ctx, None, None)), atol=1e-6)
 
 
-def test_rejects_guidance_interval_combo():
-    schedule = sched.make_schedule(sched.SchedulerConfig(), 2)
+@pytest.mark.parametrize("interval,window", [
+    (2, (2.0, 8.0)),    # mixed: in/out-of-window full and shallow steps
+    (3, (0.0, 100.0)),  # window covers everything == plain deep_cache
+    (2, (50.0, 60.0)),  # window never active == cond-only deep_cache
+])
+def test_deep_cache_composes_guidance_interval(interval, window):
+    """deep_cache x guidance_interval vs a manual mirror: outside the window
+    only the cond branch runs; a full step there refreshes only the cond
+    half of the carried cache (the uncond half stays stale)."""
+    sig = np.asarray([10.0, 6.0, 3.0, 1.0, 0.0], np.float32)
+    schedule = sched.Schedule(
+        timesteps=np.asarray([900.0, 700.0, 400.0, 100.0], np.float32),
+        sigmas=sig,
+        init_noise_sigma=float(np.sqrt(100.0 + 1.0)),
+    )
+    g = 3.0
+    lo, hi = window
     full_fn, shallow_fn = _fake_pair()
-    with pytest.raises(ValueError, match="compose"):
-        make_denoise_loop(
-            lambda *a: None, schedule, guidance_scale=5.0,
-            guidance_interval=(0.5, 5.0),
-            deep_cache=(2, full_fn, shallow_fn, (4, 4, 4)),
-        )
+
+    def plain_unet(params, inp, t, ctx, te, tid, tc=None):
+        return full_fn(params, inp, t, ctx, te, tid, tc)[0]
+
+    rng = np.random.default_rng(5)
+    lat = jnp.asarray(rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((2, 3, 5)), jnp.float32)
+    loop = make_denoise_loop(
+        plain_unet, schedule, guidance_scale=g, guidance_interval=window,
+        deep_cache=(interval, full_fn, shallow_fn, (4, 4, 4)),
+    )
+    out = loop({}, lat, ctx, None, None)
+
+    # manual mirror
+    mu = np.asarray(ctx).mean(axis=(1, 2)).reshape(-1, 1, 1, 1)
+    cur = np.asarray(lat, np.float64)
+    cache = np.zeros((2, 4, 4, 4))
+    for i in range(len(sig) - 1):
+        s, sn = float(sig[i]), float(sig[i + 1])
+        inp = cur / np.sqrt(s**2 + 1.0)
+        full = i % interval == 0
+        if lo <= s <= hi:
+            inp2 = np.concatenate([inp, inp], axis=0)
+            if full:
+                eps2 = 0.1 * inp2 + mu
+                cache = inp2
+            else:
+                eps2 = 0.1 * inp2 + mu + 0.01 * cache
+            eps = eps2[:1] + g * (eps2[1:] - eps2[:1])
+        else:
+            if full:
+                eps = 0.1 * inp + mu[1:]
+                cache = np.concatenate([cache[:1], inp], axis=0)
+            else:
+                eps = 0.1 * inp + mu[1:] + 0.01 * cache[1:]
+        cur = cur + eps * (sn - s)
+    np.testing.assert_allclose(np.asarray(out), cur, atol=1e-5)
+
+
+@pytest.mark.parametrize("solver", ["euler", "heun", "dpmpp_2m", "euler_a"])
+def test_deep_cache_guidance_interval_every_solver(solver):
+    """The composed knobs through SDXLPipeline for every solver: an
+    all-covering window + interval=1 equals the exact path; a real window +
+    interval=2 runs, differs, and stays finite."""
+    from stabletriton_tpu.runtime.pipeline import make_tiny_pipeline
+
+    pipe = make_tiny_pipeline()
+    s = pipe.clip_config.max_position_embeddings
+    ids = np.full((1, s), 5, np.int32)
+    ids[:, 0] = 1
+    ids[:, -1] = 99
+    ids = jnp.asarray(ids)
+    kw = dict(height=32, width=32, steps=3, seed=7, solver=solver)
+    base = pipe.txt2img(ids, ids, **kw)
+    both1 = pipe.txt2img(ids, ids, deep_cache=1,
+                         guidance_interval=(0.0, 1e9), **kw)
+    # identical math, but the lax.cond changes XLA's fusion; euler_a's
+    # per-step noise additions amplify last-ulp drift to ~1e-6 over 3 steps
+    np.testing.assert_allclose(np.asarray(both1), np.asarray(base), atol=2e-5)
+    both2 = pipe.txt2img(ids, ids, deep_cache=2,
+                         guidance_interval=(0.3, 5.0), **kw)
+    assert np.isfinite(np.asarray(both2)).all()
+    assert not np.array_equal(np.asarray(both2), np.asarray(base))
 
 
 def test_txt2img_deep_cache():
