@@ -72,6 +72,30 @@ def _maxsub() -> bool:
     return os.environ.get("ST_SOFTMAX_MAXSUB", "") not in ("", "0")
 
 
+def _bf16_scores() -> bool:
+    """Trace-time A/B flag (ST_BF16_SCORES): run the whole score/softmax
+    pipeline in bf16 — the QK dot still accumulates f32 on the MXU but emits
+    bf16, and the mask/min/exp2 chain runs on bf16 elements. The packed
+    kernels are VPU/VMEM-bound on exactly those (block_q, block_k) score
+    temps (round-3 trace: ~7 ms/step above the MXU floor), and bf16 halves
+    both the VPU element traffic (packed 2x-rate ops) and the temps' VMEM
+    bytes. Only new rounding: the logits quantize to 8 mantissa bits before
+    exp2 (the numerator was already cast to bf16 for the PV dot; the
+    denominator still accumulates in f32), i.e. softmax weights pick up a
+    ~0.4% relative wiggle — same order as the bf16 activations themselves.
+    Ignored under ST_SOFTMAX_MAXSUB (the paranoia path stays full f32)."""
+    import os
+
+    return os.environ.get("ST_BF16_SCORES", "") not in ("", "0")
+
+
+def _score_dt():
+    """Element type the QK dot emits / the softmax chain runs in."""
+    if _bf16_scores() and not _maxsub():
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _mxu_lsum() -> bool:
     """Experimental (A/B, trace-time): compute the softmax denominator as a
     dot with ones on the MXU instead of a VPU row-sum. The packed kernels
@@ -113,7 +137,7 @@ def _flash_kernel(
     q = q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=_score_dt()
     )
     if mask_kv:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_k
@@ -140,7 +164,7 @@ def _flash_kernel(
         # "online" softmax disappears — plain sums across kv blocks
         p = jnp.exp2(jnp.minimum(s, SOFTMAX_CLIP))
         l_ref[...] = l_ref[...] + jnp.broadcast_to(
-            jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+            jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32), l_ref.shape
         )
         acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -157,18 +181,19 @@ def _single_kv_kernel(q_ref, k_ref, v_ref, *o_refs, kv_len):
     and short self-attention): plain softmax in-register, no scratch."""
     h = q_ref.shape[2]
     block_k = k_ref.shape[1]
+    sdt = _score_dt()
     if kv_len != block_k:
         col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], block_k), 1)
     for i in range(h):
         q = q_ref[0, :, i, :]
         k = k_ref[0, :, i, :]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=sdt
         )
         if kv_len != block_k:
             s = jnp.where(col < kv_len, s, NEG_INF)
         p = _plain_softmax_num(s)
-        l = jnp.sum(p, axis=1, keepdims=True)
+        l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, :, i, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -181,13 +206,13 @@ def _single_kv_kernel_bh(q_ref, k_ref, v_ref, o_ref, *, kv_len):
     q = q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=_score_dt()
     )
     if kv_len != k_ref.shape[1]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
     p = _plain_softmax_num(s)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
     o = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -210,6 +235,7 @@ def _packed_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, head_dim,
     v = v_ref[0]
     block_k = k_ref.shape[1]
     pack = q.shape[1] // head_dim
+    sdt = _score_dt()
     if kv_len != block_k:
         col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], block_k), 1)
     mxu_lsum = _mxu_lsum()
@@ -218,7 +244,7 @@ def _packed_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, head_dim,
         sl = slice(i * head_dim, (i + 1) * head_dim)
         s = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=sdt,
         )
         if kv_len != block_k:
             s = jnp.where(col < kv_len, s, NEG_INF)
@@ -233,7 +259,7 @@ def _packed_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, head_dim,
                 preferred_element_type=jnp.float32,
             )
         else:
-            l = jnp.sum(p, axis=1, keepdims=True)
+            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
         o = jax.lax.dot_general(
             p16, v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -277,13 +303,14 @@ def _packed_flash_kernel(
 
     maxsub = _maxsub()
     mxu_lsum = not maxsub and _mxu_lsum()
+    sdt = _score_dt()
     m_prev = m_ref[...] if maxsub else None
     alphas, m_news, p_sums, os = [], [], [], []
     for i in range(pack):
         sl = slice(i * head_dim, (i + 1) * head_dim)
         s = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=sdt,
         )
         if mask_kv:
             s = jnp.where(col < kv_len, s, NEG_INF)
@@ -307,7 +334,8 @@ def _packed_flash_kernel(
             ))
         else:
             p_sums.append(jnp.broadcast_to(
-                jnp.sum(p, axis=1, keepdims=True), (q.shape[0], head_dim)
+                jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32),
+                (q.shape[0], head_dim)
             ))
         os.append(jax.lax.dot_general(
             p16, v[:, sl], (((1,), (0,)), ((), ())),
@@ -625,8 +653,58 @@ def flash_attention(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Mesh-aware dispatch: GSPMD must treat a pallas_call as an opaque replicated
+# custom call, so under a jit-over-Mesh it would all-gather the (B, S, H*D)
+# activations onto every chip before each kernel — silently defeating both
+# data and tensor parallelism. When the runtime activates a mesh
+# (runtime/mesh.use_mesh — the pipeline does this around its program bodies),
+# the bindings below wrap the kernel in jax.shard_map instead: batch over
+# "data", whole heads over "model" (attention is embarrassingly parallel
+# across heads, so the local kernel needs no collectives at all). The fused
+# qkv/kv entries shard batch only — a contiguous "model" split of their
+# [q|k|v] channel concat is not head-aligned — which is why tensor-parallel
+# pipelines keep the projections unfused (runtime/pipeline.__post_init__).
+# ---------------------------------------------------------------------------
+
+
+def _mesh_axes():
+    """(mesh, batch-axis name, data size, model-axis name, model size), or
+    None when no mesh is active / the mesh is trivial."""
+    from stabletriton_tpu.runtime import mesh as mesh_mod
+
+    m = mesh_mod.active_mesh()
+    if m is None:
+        return None
+    dsz = int(m.shape.get(mesh_mod.DATA_AXIS, 1))
+    msz = int(m.shape.get(mesh_mod.MODEL_AXIS, 1))
+    if dsz == 1 and msz == 1:
+        return None
+    return m, mesh_mod.DATA_AXIS, dsz, mesh_mod.MODEL_AXIS, msz
+
+
 @register("attention", "pallas")
 def attention(q, k, v, *, num_heads=1, scale=None):
+    axes = _mesh_axes()
+    if axes is not None:
+        m, data, dsz, model, msz = axes
+        b, _, c = q.shape
+        d = c // num_heads
+        batch_ax = data if (dsz > 1 and b % dsz == 0) else None
+        head_ax = model if (msz > 1 and num_heads % msz == 0) else None
+        if batch_ax is not None or head_ax is not None:
+            local_heads = num_heads // (msz if head_ax is not None else 1)
+            s = float(scale) if scale is not None else 1.0 / float(np.sqrt(d))
+            spec = jax.sharding.PartitionSpec(batch_ax, None, head_ax)
+            local = functools.partial(
+                flash_attention, num_heads=local_heads, scale=s
+            )
+            # check_vma=False: pallas_call out_shapes carry no vma
+            # annotation, and the local kernel uses no collectives anyway
+            return jax.shard_map(
+                local, mesh=m, in_specs=(spec, spec, spec), out_specs=spec,
+                check_vma=False,
+            )(q, k, v)
     return flash_attention(q, k, v, num_heads=num_heads, scale=scale)
 
 
@@ -890,9 +968,35 @@ def flash_attention_kv(
 
 @register("attention_qkv", "pallas")
 def attention_qkv(qkv, *, num_heads=1, scale=None):
+    axes = _mesh_axes()
+    if axes is not None:
+        m, data, dsz, _, _ = axes
+        if dsz > 1 and qkv.shape[0] % dsz == 0:
+            # batch over "data" only: the fused channel concat is not
+            # head-aligned under a contiguous "model" split (see above)
+            spec = jax.sharding.PartitionSpec(data, None, None)
+            local = functools.partial(
+                flash_attention_qkv, num_heads=num_heads, scale=scale
+            )
+            return jax.shard_map(
+                local, mesh=m, in_specs=(spec,), out_specs=spec,
+                check_vma=False,
+            )(qkv)
     return flash_attention_qkv(qkv, num_heads=num_heads, scale=scale)
 
 
 @register("attention_kv", "pallas")
 def attention_kv(q, kv, *, num_heads=1, scale=None):
+    axes = _mesh_axes()
+    if axes is not None:
+        m, data, dsz, _, _ = axes
+        if dsz > 1 and q.shape[0] % dsz == 0 and kv.shape[0] == q.shape[0]:
+            spec = jax.sharding.PartitionSpec(data, None, None)
+            local = functools.partial(
+                flash_attention_kv, num_heads=num_heads, scale=scale
+            )
+            return jax.shard_map(
+                local, mesh=m, in_specs=(spec, spec), out_specs=spec,
+                check_vma=False,
+            )(q, kv)
     return flash_attention_kv(q, kv, num_heads=num_heads, scale=scale)

@@ -75,7 +75,12 @@ def _decode_images(vae_config, vae_params, latents, chunk: int = 1) -> jnp.ndarr
     would serialize work the mesh runs in parallel."""
     lat = latents.astype(jnp.float32)
     b = lat.shape[0]
-    if b <= chunk or b % chunk != 0:
+    if b > chunk and b % chunk != 0:
+        # a non-divisible batch must NOT fall back to the fully batched
+        # decode (exactly the peak-memory blowup chunking exists to avoid);
+        # per-image decode is always memory-safe
+        chunk = 1
+    if b <= chunk:
         img = vae_mod.vae_decode(vae_config, vae_params, lat)
     else:
         img = jax.lax.map(
@@ -107,10 +112,13 @@ class SDXLPipeline:
     scheduler_config: sched.SchedulerConfig = field(default_factory=sched.SchedulerConfig)
     # SD2.x conventionally conditions on the penultimate encoder layer
     clip_skip: int = 1
-    # multi-chip: a ("data", "model") mesh (runtime/mesh.make_mesh). Params are
-    # sharded at construction (tensor-parallel tables cover the *fused*
-    # .to_qkv./.to_kv. keys), token-id batches are sharded over "data" per
-    # call — scaling out is a config change, not a rewrite (SURVEY §2.7).
+    # multi-chip: a ("data", "model") mesh (runtime/mesh.make_mesh). Params
+    # are sharded at construction (head-aligned column/row-parallel tables;
+    # with model > 1 the attention projections stay unfused — see
+    # __post_init__), token-id batches are sharded over "data" per call, and
+    # the Pallas attention kernels shard_map over the mesh (trace-time
+    # activation via _mesh_ctx) — scaling out is a config change, not a
+    # rewrite (SURVEY §2.7).
     mesh: Any = None
     _cache: dict[Any, Any] = field(default_factory=dict, repr=False)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
@@ -126,7 +134,13 @@ class SDXLPipeline:
 
             enable_persistent_compile_cache()
         self.params = dict(self.params)
-        if self.compile_config.backend != "reference":
+        if self.compile_config.backend != "reference" and self._tp_size() == 1:
+            # tensor-parallel meshes keep the projections UNFUSED: a
+            # contiguous "model" split of the fused [q|k|v] channel concat is
+            # not head-aligned, so fusing would force channel replication
+            # (an all-gather) at every attention. Unfused column-parallel
+            # projections shard by whole heads and the shard-mapped kernel
+            # runs collective-free (kernels/flash_attention mesh dispatch).
             self.params["unet"] = fuse_attention_projections(self.params["unet"])
         if self.compile_config.quantize:
             from stabletriton_tpu.compile import quantize_linear_weights
@@ -144,6 +158,27 @@ class SDXLPipeline:
                 group: mesh_mod.shard_params(p, self.mesh)
                 for group, p in self.params.items()
             }
+
+    def _tp_size(self) -> int:
+        """Size of the tensor-parallel ("model") mesh axis; 1 off-mesh."""
+        if self.mesh is None:
+            return 1
+        from stabletriton_tpu.runtime import mesh as mesh_mod
+
+        return int(self.mesh.shape.get(mesh_mod.MODEL_AXIS, 1))
+
+    def _mesh_ctx(self):
+        """Trace-time mesh activation (runtime/mesh.use_mesh): makes the
+        Pallas attention bindings shard_map their kernels over the mesh
+        instead of leaving an opaque (replicated) pallas_call for GSPMD to
+        all-gather around. No-op context off-mesh."""
+        if self.mesh is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        from stabletriton_tpu.runtime import mesh as mesh_mod
+
+        return mesh_mod.use_mesh(self.mesh)
 
     def _decode_chunk(self) -> int:
         """Images decoded per lax.map iteration: the data-axis size (each
@@ -193,6 +228,17 @@ class SDXLPipeline:
 
         return unet_step, (kv_pre if use_kv else None), (
             time_pre if use_tc else None)
+
+    @staticmethod
+    def _norm_gi(guidance_interval, guidance_scale):
+        """Normalize the guidance-interval knob for the program-cache
+        signature: a float 2-tuple, or None — including when
+        ``guidance_scale <= 1`` (the no-CFG branch wins in the loop and the
+        interval is inert; normalizing keeps inert-knob requests from
+        compiling duplicate identical programs)."""
+        if guidance_interval is None or float(guidance_scale) <= 1.0:
+            return None
+        return (float(guidance_interval[0]), float(guidance_interval[1]))
 
     @staticmethod
     def _norm_deep_cache(deep_cache):
@@ -278,7 +324,7 @@ class SDXLPipeline:
         )
 
         def program(params, ids1, ids2, neg_ids1, neg_ids2, seed):
-            with ops.use_backends(binding):
+            with self._mesh_ctx(), ops.use_backends(binding):
                 # --- text encoding (cond + uncond), fp32 encoders ---
                 ids1_all = jnp.concatenate([neg_ids1, ids1], axis=0)
                 if ucfg.has_addition_embedding:
@@ -360,8 +406,9 @@ class SDXLPipeline:
         full UNet every N-th step and only the outermost level (splicing the
         carried deep-feature cache) in between. N=2/3 keep quality close;
         ``deep_cache=(N, depth)`` recomputes the outermost ``depth`` levels
-        instead (more quality, less speedup). Mutually exclusive with
-        guidance_interval."""
+        instead (more quality, less speedup). Composes with
+        guidance_interval and with ``guidance_scale <= 1`` (see
+        make_denoise_loop)."""
         self._check_resolution(height, width)
         batch = int(ids1.shape[0])
         # missing negative prompt == the empty prompt "" (BOS/EOS/pad), exactly
@@ -375,8 +422,7 @@ class SDXLPipeline:
             neg_ids2 = jnp.asarray(
                 self.clip2_config.empty_prompt_ids(batch, int(ids2.shape[1]))
             )
-        gi = (None if guidance_interval is None
-              else (float(guidance_interval[0]), float(guidance_interval[1])))
+        gi = self._norm_gi(guidance_interval, guidance_scale)
         dc = self._norm_deep_cache(deep_cache)
         fn = self._txt2img_program(batch, height, width, steps,
                                    float(guidance_scale), solver,
@@ -428,10 +474,22 @@ class SDXLPipeline:
 
         Traces and compiles via jax AOT (``lower().compile()``) WITHOUT
         executing a generation; with the persistent compile cache (default
-        on) the executable also lands on disk for future processes."""
+        on) the executable also lands on disk for future processes.
+
+        NOTE: cold-start elimination leans on that persistent cache — jit's
+        normal call path does not reuse the AOT executable, so with
+        ``ST_TPU_COMPILE_CACHE=0`` the first real request re-traces and
+        recompiles from scratch and warmup only pre-populates jax's trace
+        cache (a warning is logged)."""
+        if os.environ.get("ST_TPU_COMPILE_CACHE", "1") == "0":
+            _logger.warning(
+                "warmup() with ST_TPU_COMPILE_CACHE=0: the AOT executable is "
+                "not persisted and jit will recompile on the first real "
+                "request; enable the persistent compile cache for warmup to "
+                "eliminate cold starts"
+            )
         self._check_resolution(height, width)
-        gi = (None if guidance_interval is None
-              else (float(guidance_interval[0]), float(guidance_interval[1])))
+        gi = self._norm_gi(guidance_interval, guidance_scale)
         dc = self._norm_deep_cache(deep_cache)
         fn = self._txt2img_program(batch, height, width, steps,
                                    float(guidance_scale), solver, False,
@@ -479,8 +537,7 @@ class SDXLPipeline:
             neg_ids2 = jnp.asarray(
                 self.clip2_config.empty_prompt_ids(batch, int(ids2.shape[1]))
             )
-        gi = (None if guidance_interval is None
-              else (float(guidance_interval[0]), float(guidance_interval[1])))
+        gi = self._norm_gi(guidance_interval, guidance_scale)
         dc = self._norm_deep_cache(deep_cache)
         sig = ("inpaint", batch, height, width, steps, float(guidance_scale),
                solver, gi, dc)
@@ -522,7 +579,7 @@ class SDXLPipeline:
         )
 
         def program(params, image, mask, ids1, ids2, neg_ids1, neg_ids2, seed):
-            with ops.use_backends(binding):
+            with self._mesh_ctx(), ops.use_backends(binding):
                 ids1_all = jnp.concatenate([neg_ids1, ids1], axis=0)
                 ids2_all = jnp.concatenate([neg_ids2, ids2], axis=0)
                 ctx, pooled = clip_mod.encode_sdxl_prompts(
@@ -639,7 +696,7 @@ class SDXLPipeline:
         )
 
         def program(params, latents_in, ids1, ids2, neg_ids1, neg_ids2, seed):
-            with ops.use_backends(binding):
+            with self._mesh_ctx(), ops.use_backends(binding):
                 f = self.vae_config.spatial_scale_factor
                 height, width = lat_h * f, lat_w * f
                 if ucfg.addition_time_embed_dim is None:
@@ -735,8 +792,7 @@ class SDXLPipeline:
             neg_ids2 = jnp.asarray(
                 self.clip2_config.empty_prompt_ids(batch, int(ids2.shape[1]))
             )
-        gi = (None if guidance_interval is None
-              else (float(guidance_interval[0]), float(guidance_interval[1])))
+        gi = self._norm_gi(guidance_interval, guidance_scale)
         dc = self._norm_deep_cache(deep_cache)
         sig = ("i2i", batch, lat_h, lat_w, steps, start, float(guidance_scale),
                solver, aesthetic_scores, decode, gi, dc)
