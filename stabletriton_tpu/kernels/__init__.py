@@ -12,9 +12,14 @@ redesigned for TPU:
                     reference's)
   linear          — fused matmul+bias+activation GEMM (opt-in; XLA's dot wins
                     by default, mirroring the reference's disabled linear pass)
+  conv_direct     — experimental direct 3x3 conv, nine shifted MXU GEMMs with
+                    the bias+residual+act epilogue in-kernel (opt-in; the
+                    SURVEY §7 stretch-goal experiment — the shipped default
+                    is XLA's conv, measured at ~155 TF/s)
 """
 
 from stabletriton_tpu.kernels import (  # noqa: F401
+    conv_direct,
     dropout,
     flash_attention,
     geglu,

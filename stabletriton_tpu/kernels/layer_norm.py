@@ -20,17 +20,27 @@ from stabletriton_tpu.kernels.common import interpret_mode, round_up, rows_for_b
 from stabletriton_tpu.ops.registry import register
 
 
-def _layer_norm_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, eps):
+def _layer_norm_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, eps,
+                       rmsnorm=False):
+    """Dual-mode row norm — the reference kernel's IS_RMSNORM switch
+    (reference src/stabletriton/kernels/layer_norm.py:75,129): RMSNorm is
+    the same kernel with the mean subtraction skipped."""
     x = x_ref[...].astype(jnp.float32)  # (rows, C)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    xc = x - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    if rmsnorm:
+        xc = x
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+    else:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        xc = x - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     out = xc * jax.lax.rsqrt(var + eps)
     out = out * gamma_ref[...].astype(jnp.float32) + beta_ref[...].astype(jnp.float32)
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("eps", "block_rows", "interpret", "rmsnorm")
+)
 def layer_norm(
     x: jax.Array,
     gamma: jax.Array,
@@ -39,8 +49,10 @@ def layer_norm(
     eps: float = 1e-5,
     block_rows: int | None = None,
     interpret: bool | None = None,
+    rmsnorm: bool = False,
 ):
-    """x: (..., C); normalizes the last axis."""
+    """x: (..., C); normalizes the last axis (``rmsnorm=True`` skips the
+    mean subtraction — RMSNorm)."""
     if interpret is None:
         interpret = interpret_mode()
     orig_shape = x.shape
@@ -58,7 +70,7 @@ def layer_norm(
         xf = jnp.pad(xf, ((0, rows_p - rows), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_layer_norm_kernel, eps=eps),
+        functools.partial(_layer_norm_kernel, eps=eps, rmsnorm=rmsnorm),
         grid=(rows_p // block_rows,),
         in_specs=[
             pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
@@ -82,3 +94,12 @@ def layer_norm_op(x, gamma, beta, *, eps=1e-5):
     if beta is None:
         beta = jnp.zeros((x.shape[-1],), jnp.float32)
     return layer_norm(x, gamma, beta, eps=float(eps))
+
+
+@register("rms_norm", "pallas")
+def rms_norm_op(x, gamma, beta=None, *, eps=1e-5):
+    if gamma is None:
+        gamma = jnp.ones((x.shape[-1],), jnp.float32)
+    if beta is None:
+        beta = jnp.zeros((x.shape[-1],), jnp.float32)
+    return layer_norm(x, gamma, beta, eps=float(eps), rmsnorm=True)

@@ -264,6 +264,31 @@ def layer_norm_bf16apply(
     return out
 
 
+@register("rms_norm", "reference")
+def rms_norm(
+    x: jax.Array,
+    gamma: jax.Array | None,
+    beta: jax.Array | None = None,
+    *,
+    eps: float = 1e-5,
+):
+    """RMSNorm over the last axis: x / sqrt(mean(x^2) + eps) * gamma (+beta).
+
+    Capability parity with the reference's dual-mode norm kernel (reference
+    ``src/stabletriton/kernels/layer_norm.py:75,129`` ``IS_RMSNORM`` — same
+    Triton kernel, mean subtraction skipped). No SD-family model uses it;
+    it exists for SD3/Flux-class models whose norms are RMS. f32 moments,
+    apply in f32 then cast back (mirroring `layer_norm`)."""
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(ms + eps)
+    if gamma is not None:
+        out = out * gamma.astype(jnp.float32)
+    if beta is not None:
+        out = out + beta.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 @register("layer_norm", "barrier")
 def layer_norm_barrier(
     x: jax.Array,

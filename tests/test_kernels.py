@@ -87,6 +87,28 @@ def test_layer_norm_parity(shape):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
 
 
+@pytest.mark.parametrize("shape", [(6, 32), (3, 11, 48)])
+def test_rms_norm_parity(shape):
+    """Pallas RMSNorm (the dual-mode row-norm kernel's rmsnorm switch —
+    reference layer_norm.py IS_RMSNORM) vs the jnp reference op, and the
+    reference op vs torch's F.rms_norm semantics (x/sqrt(mean(x^2)+eps))."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * 3 + 1.5)
+    gamma = jnp.asarray(rng.standard_normal(shape[-1], dtype=np.float32))
+    out = layer_norm_k(x, gamma, jnp.zeros((shape[-1],), jnp.float32),
+                       block_rows=8, rmsnorm=True)
+    ref = ops.rms_norm(x, gamma)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+    want = np.asarray(x, np.float64)
+    want = want / np.sqrt((want**2).mean(-1, keepdims=True) + 1e-5)
+    want = want * np.asarray(gamma, np.float64)
+    np.testing.assert_allclose(np.asarray(ref), want, atol=1e-4)
+    # the dispatch surface routes the pallas binding too
+    with ops.use_backends({"rms_norm": "pallas"}):
+        outp = ops.rms_norm(x, gamma)
+    np.testing.assert_allclose(np.asarray(outp), np.asarray(ref), atol=1e-3)
+
+
 def test_geglu_parity():
     rng = np.random.default_rng(4)
     state = jnp.asarray(rng.standard_normal((5, 13, 32), dtype=np.float32))
@@ -282,6 +304,60 @@ def test_mxu_lsum_parity(monkeypatch):
                                    atol=5e-3)
 
 
+def test_bf16_scores_parity(monkeypatch):
+    """ST_BF16_SCORES=1 (QK dot emits bf16, mask/min/exp2 chain in bf16,
+    denominator still f32) must stay near the f32 softmax: only new rounding
+    is the 8-mantissa-bit logit quantization before exp2. Single-KV and
+    online packed paths (incl. padded keys) + the tiny-KV all-heads path."""
+    rng = np.random.default_rng(41)
+    cases = [
+        (128, 200, 64, 256, "packed"),   # packed single-KV, padded keys
+        (128, 300, 64, 128, "packed"),   # packed online softmax, padded keys
+        (128, 77, None, None, None),     # tiny-KV all-heads cross path
+    ]
+    for sq, sk, bq, bk, variant in cases:
+        q = jnp.asarray(rng.standard_normal((1, sq, 128), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((1, sk, 128), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((1, sk, 128), dtype=np.float32))
+        monkeypatch.delenv("ST_BF16_SCORES", raising=False)
+        base = flash_attention(q, k, v, num_heads=2, block_q=bq, block_k=bk,
+                               variant=variant)
+        monkeypatch.setenv("ST_BF16_SCORES", "1")
+        flash_attention._clear_cache()  # env read at trace time
+        fast = flash_attention(q, k, v, num_heads=2, block_q=bq, block_k=bk,
+                               variant=variant)
+        flash_attention._clear_cache()
+        monkeypatch.delenv("ST_BF16_SCORES", raising=False)
+        want = ops.attention(q, k, v, num_heads=2)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(want),
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
+                                   atol=2e-2)
+
+
+def test_bf16_scores_fused_entry_points(monkeypatch):
+    """The fused-operand entry points honor ST_BF16_SCORES too."""
+    from stabletriton_tpu.kernels.flash_attention import (
+        flash_attention_kv, flash_attention_qkv)
+
+    rng = np.random.default_rng(43)
+    qkv = jnp.asarray(rng.standard_normal((1, 64, 3 * 128), dtype=np.float32))
+    q = jnp.asarray(rng.standard_normal((1, 64, 128), dtype=np.float32))
+    kv = jnp.asarray(rng.standard_normal((1, 77, 256), dtype=np.float32))
+    monkeypatch.setenv("ST_BF16_SCORES", "1")
+    flash_attention_qkv._clear_cache()
+    flash_attention_kv._clear_cache()
+    o1 = flash_attention_qkv(qkv, num_heads=2)
+    o2 = flash_attention_kv(q, kv, num_heads=2)
+    flash_attention_qkv._clear_cache()
+    flash_attention_kv._clear_cache()
+    monkeypatch.delenv("ST_BF16_SCORES", raising=False)
+    r1 = ops.attention_qkv(qkv, num_heads=2)
+    r2 = ops.attention_kv(q, kv, num_heads=2)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(r1), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(r2), atol=2e-2)
+
+
 def test_shift_free_softmax_matches_maxsub(monkeypatch):
     """The default shift-free softmax must match the max-subtracting escape
     hatch (ST_SOFTMAX_MAXSUB=1) — softmax is shift-invariant, the clip at 80
@@ -328,3 +404,29 @@ def test_attention_tuned_variant_pin(monkeypatch):
     out = flash_attention(q, k, v, num_heads=2)
     ref = ops.attention(q, k, v, num_heads=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+@pytest.mark.parametrize("act,res", [(None, False), ("silu", True)])
+def test_conv3x3_direct_parity(act, res):
+    """Experimental direct Pallas conv (nine shifted MXU GEMMs, fused
+    epilogue) vs the XLA reference conv — the SURVEY §7 stretch-goal
+    experiment's correctness gate. Odd H exercises the row-pad tail."""
+    from stabletriton_tpu.kernels.conv_direct import conv3x3_direct
+
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((2, 11, 8, 16), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 32), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(32, dtype=np.float32))
+    residual = (jnp.asarray(rng.standard_normal((2, 11, 8, 32),
+                                                dtype=np.float32))
+                if res else None)
+    out = conv3x3_direct(x, w, b, residual=residual, act=act, block_rows=4)
+    ref = ops.conv2d(x, w, b, residual=residual, act=act)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # the registered op routes the hot shape and falls back elsewhere
+    with ops.use_backends({"conv2d": "direct"}):
+        out2 = ops.conv2d(x, w, b, residual=residual, act=act)
+        fb = ops.conv2d(x, w, b, stride=2, padding=((0, 1), (0, 1)))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-4)
+    want_fb = ops.conv2d(x, w, b, stride=2, padding=((0, 1), (0, 1)))
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(want_fb), atol=1e-6)
