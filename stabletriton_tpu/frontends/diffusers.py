@@ -46,17 +46,36 @@ class CompiledUNet:
 
     def __init__(self, torch_unet, compile_config: CompileConfig | None = None,
                  deep_cache: int | None = None):
+        np_params = state_dict_to_params(torch_unet, dtype=np.float32)
+        self._setup(unet_config_from_diffusers(torch_unet.config), np_params,
+                    compile_config, deep_cache, config=torch_unet.config)
+
+    @classmethod
+    def from_params(cls, unet_config, np_params,
+                    compile_config: CompileConfig | None = None,
+                    deep_cache: int | None = None):
+        """Build the drop-in UNet from an already-converted framework param
+        dict (HF keys, framework layout) instead of a live diffusers module —
+        the entry the SGM/A1111 splice uses (frontends/sgm.py), where weights
+        come from io.single_file / io.single_file.convert_sgm_unet rather
+        than a torch UNet2DConditionModel."""
+        self = cls.__new__(cls)
+        self._setup(unet_config, np_params, compile_config, deep_cache,
+                    config=None)
+        return self
+
+    def _setup(self, unet_config, np_params, compile_config, deep_cache,
+               config):
         import jax.numpy as jnp
 
         self._jnp = jnp
-        self.config = torch_unet.config  # diffusers pipeline reads this
-        self.unet_config = unet_config_from_diffusers(torch_unet.config)
+        self.config = config  # diffusers pipeline reads this (None for SGM)
+        self.unet_config = unet_config
         # per-step calls make a fresh device array from the torch sample every
         # time, so donating it is always safe here — the static-buffer analog
         # of the reference's CUDA-graph pools (SURVEY §2.4), relevant exactly
         # on this step-at-a-time path (the native pipeline jits the whole loop)
         self.compile_config = compile_config or CompileConfig(donate_sample=True)
-        np_params = state_dict_to_params(torch_unet, dtype=np.float32)
         dtype = self.compile_config.jnp_dtype
         self.params = {k: jnp.asarray(v, dtype) for k, v in np_params.items()}
         self._fn = compile_unet(self.unet_config, self.compile_config)

@@ -270,3 +270,102 @@ def test_comfyui_shim_sgm_y_convention_matches_native():
     np.testing.assert_allclose(
         got.numpy(), np.asarray(want).transpose(0, 3, 1, 2), atol=1e-4
     )
+
+
+def test_sgm_splice_refiner_y_convention():
+    """frontends.sgm.splice on a mock sgm SamplingPipeline
+    (pipeline.model.model.diffusion_model holds an SGM-keyed torch UNet):
+    the spliced shim must equal the native step, driven through the
+    refiner-style 5-slot y = concat(pooled, fourier(5 time_ids)) adm path
+    (reference implementations/sgm_/example.py wanted this splice)."""
+    import dataclasses
+    import types
+
+    import jax.numpy as jnp
+
+    from stabletriton_tpu import ops
+    from stabletriton_tpu.frontends import sgm as fe_sgm
+    from stabletriton_tpu.io.torch_ingest import state_dict_to_params
+    from test_single_file import _RESNET_INV, _invert_unet_names
+
+    cfg = dataclasses.replace(
+        tiny_unet_config(),
+        projection_class_embeddings_input_dim=8 * 5 + 16,  # 5-slot refiner adm
+    )
+    fake_hf = FakeTorchUNet(cfg)
+    # rename the HF-keyed torch-layout state_dict to SGM keys (the inverse of
+    # io.single_file.convert_sgm_unet, via the same tables)
+    inv = _invert_unet_names(cfg)
+    sgm_sd = {}
+    for name, tensor in fake_hf.state_dict().items():
+        mod, leaf = name.rsplit(".", 1)
+        best = None
+        for dpre, spre in inv.items():
+            if (mod == dpre or mod.startswith(dpre + ".")) and (
+                    best is None or len(dpre) > len(best[0])):
+                best = (dpre, spre)
+        assert best, name
+        dpre, spre = best
+        rest = mod[len(dpre):].lstrip(".")
+        for dmod, smod in _RESNET_INV.items():
+            if rest == dmod or rest.startswith(dmod + "."):
+                rest = smod + rest[len(dmod):]
+                break
+        sgm_sd[f"{spre}.{rest}.{leaf}" if rest else f"{spre}.{leaf}"] = tensor
+
+    class _FakeSGMUNet:
+        def state_dict(self):
+            return sgm_sd
+
+    # sgm object shape: SamplingPipeline.model = DiffusionEngine,
+    # DiffusionEngine.model = OpenAIWrapper(.diffusion_model)
+    wrapper = types.SimpleNamespace(diffusion_model=_FakeSGMUNet())
+    engine = types.SimpleNamespace(model=wrapper)
+    pipeline = types.SimpleNamespace(model=engine)
+
+    out_obj = fe_sgm.splice(
+        pipeline, unet_config=cfg,
+        compile_config=CompileConfig(backend="reference", dtype="float32"),
+    )
+    assert out_obj is pipeline
+    shim = wrapper.diffusion_model
+    assert isinstance(shim, fe_sgm.CompVisUNetShim)
+
+    rng = np.random.default_rng(13)
+    b, hw = 2, 16
+    x = torch.from_numpy(rng.standard_normal((b, 4, hw, hw)).astype(np.float32))
+    ctx = torch.from_numpy(
+        rng.standard_normal((b, 7, cfg.cross_attention_dim)).astype(np.float32))
+    pooled = rng.standard_normal((b, 16)).astype(np.float32)
+    # refiner adm slots: orig_size (2) + crop (2) + aesthetic_score (1)
+    time_ids = np.tile([32.0, 32.0, 0.0, 0.0, 6.0], (b, 1)).astype(np.float32)
+    four = np.asarray(ops.time_embed(
+        jnp.asarray(time_ids.reshape(-1)), dim=cfg.addition_time_embed_dim,
+        flip_sin_to_cos=True, downscale_freq_shift=0.0,
+    )).reshape(b, -1)
+    y = torch.from_numpy(np.concatenate([pooled, four], axis=-1))
+    assert y.shape[-1] == cfg.projection_class_embeddings_input_dim
+
+    got = shim(x, timesteps=torch.tensor([500.0]), context=ctx, y=y)
+
+    params = {k: jnp.asarray(v) for k, v in
+              state_dict_to_params(fake_hf, dtype=np.float32).items()}
+    want = unet_apply(
+        cfg, params,
+        jnp.asarray(np.asarray(x).transpose(0, 2, 3, 1)),
+        jnp.full((b,), 500.0),
+        jnp.asarray(np.asarray(ctx)),
+        jnp.asarray(pooled),
+        jnp.asarray(time_ids),
+    )
+    np.testing.assert_allclose(
+        got.numpy(), np.asarray(want).transpose(0, 3, 1, 2), atol=1e-4)
+
+
+def test_sgm_splice_rejects_unrecognized_object():
+    import pytest as _pytest
+
+    from stabletriton_tpu.frontends import sgm as fe_sgm
+
+    with _pytest.raises(ValueError, match="diffusion_model"):
+        fe_sgm.splice(object())
