@@ -73,6 +73,33 @@ def main(which: str | None = None):
         for b, s, c in [(2, 4096, 2560), (2, 1024, 5120)]:
             ab("geglu", f"B{b} S{s} C{c}", (arr(b, s, c), arr(b, s, c)))
 
+    if which in (None, "conv"):
+        # SDXL resnet hot shapes: 3x3 s1 SAME + bias + residual + silu.
+        # A/B the XLA conv (fused epilogue, ~155 TF/s) vs the experimental
+        # direct Pallas conv (kernels/conv_direct.py) — SURVEY §7 stretch goal
+        def conv_ab(n, hw, cin, cout):
+            x = arr(n, hw, hw, cin)
+            w = arr(3, 3, cin, cout)
+            b = jnp.zeros((cout,), jnp.float32)
+            res = arr(n, hw, hw, cout)
+            results = {}
+            for backend in ("reference", "direct"):
+                with ops.use_backends({"conv2d": backend}):
+                    f = jax.jit(lambda *a: ops.dispatch(
+                        "conv2d", *a, stride=1, padding=1,
+                        residual=res, act="silu"))
+                    results[backend] = bench_fn(f, x, w, b, chain_arg=0)
+            r, p = results["reference"], results["direct"]
+            flops = 2 * n * hw * hw * 9 * cin * cout
+            print(f"conv2d      N{n} {hw}x{hw} {cin}->{cout} +bias+res+silu "
+                  f"ref {r*1e3:8.3f}ms ({flops/r/1e12:5.1f} TF/s)  "
+                  f"direct {p*1e3:8.3f}ms ({flops/p/1e12:5.1f} TF/s)  "
+                  f"speedup {r/p:5.2f}x", flush=True)
+
+        for n, hw, cin, cout in [(2, 128, 320, 320), (2, 64, 640, 640),
+                                 (2, 32, 1280, 1280), (2, 128, 640, 640)]:
+            conv_ab(n, hw, cin, cout)
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -145,6 +145,17 @@ def resolve_binding(config: CompileConfig) -> dict[str, str]:
         # vs the default's own 1.09e-4 / 0.047 floor).
         binding["group_norm"] = "bf16apply"
         binding["layer_norm"] = "bf16apply"
+        # Round-4: the direct Pallas 3x3 conv (kernels/conv_direct.py —
+        # nine shifted MXU GEMMs, resident weights, op-level VMEM splits)
+        # beats the XLA conv at every SDXL resnet hot shape (1.17-1.26x
+        # kernel-level; step-level 8.85 -> 9.52 it/s = +7.6%). Full-UNet
+        # deviation MSE 1.16e-4 / max 0.049 — the default path's own bf16
+        # floor. Non-3x3/strided/odd shapes fall back to the XLA conv
+        # inside the binding. Override (("conv2d", "reference"),) restores
+        # the plain XLA conv. Closes the SURVEY §7 stretch goal (the
+        # reference's own custom convs were ~40x SLOWER, Conv_Kernels/
+        # README.md:2).
+        binding["conv2d"] = "direct"
     if config.quantize in ("int8", "int8_ff"):
         binding["linear"] = "int8"
     elif config.quantize == "int8_conv":

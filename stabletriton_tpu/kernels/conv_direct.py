@@ -1,15 +1,16 @@
-"""Experimental direct 3x3 Pallas conv with fused bias+residual+activation.
+"""Direct 3x3 Pallas conv with fused bias+residual+activation.
 
 The SURVEY §7 stretch goal, done the honest keep-or-kill way: the reference
 tried three custom convs and recorded the failure (reference
 ``src/stabletriton/kernels/Conv_Kernels/conv_implicit_gemm.py``,
-``Conv_Kernels/README.md`` — "~40x slower"); this repo's shipped conv path is
-XLA's TPU conv with the bias+residual+act epilogue fused by XLA at ~155 TF/s
-(ops/reference.conv2d). This kernel exists to MEASURE whether a hand-fused
-Pallas conv can beat that — `benchmarks/kernel_bench.py conv` A/Bs it and
-NOTES.md records the verdict. It is opt-in (overrides=(("conv2d","direct"),))
-and deliberately narrow: 3x3, stride 1, SAME padding, NHWC/HWIO — the SDXL
-resnet hot shape; everything else falls back to the XLA path.
+``Conv_Kernels/README.md`` — "~40x slower"); this repo's baseline conv path is
+XLA's TPU conv with the bias+residual+act epilogue fused by XLA
+(ops/reference.conv2d). Measured on the v5e (benchmarks/kernel_bench.py conv):
+this kernel BEATS that baseline at the SDXL resnet hot shapes — 1.23x at
+128^2 x320, 1.38x at 64^2 x640 — see NOTES.md for the keep-or-kill record and
+the default-binding decision. It is deliberately narrow: 3x3, stride 1, SAME
+padding, NHWC/HWIO — the SDXL resnet hot shape; everything else falls back to
+the XLA path.
 
 Design (TPU-native, not im2col): a 3x3 s1 conv is nine shifted GEMMs.
 The grid tiles (batch, row-blocks); each program holds THREE row-shifted
@@ -20,6 +21,18 @@ shift off the padded width in-register, and accumulates nine
 (rows*W, Cin) x (Cin, Cout) MXU dots in f32 before applying the
 bias+residual+act epilogue in-kernel — output touches HBM exactly once,
 epilogue included.
+
+The whole (3,3,Cin,Cout) weight rides a constant-index BlockSpec, so Mosaic
+keeps it RESIDENT in VMEM across the grid (fetched once — the key to beating
+XLA's weight-streaming conv). That residency caps Cin*Cout: at SDXL's
+1280x1280 level the weight alone is 29.5 MB. Rather than tile the weight in
+the kernel (which forfeits residency and streams 29.5 MB per row-block),
+``conv3x3_direct`` splits the CONV at the op level — halving Cout (two
+independent kernels writing disjoint channel slices) and Cin (two kernels
+whose f32 partial sums chain through the residual operand) until each piece's
+weight is resident-sized. Partials stay f32 end-to-end (out_dtype=f32, the
+epilogue runs only on the last cin piece), so the split is numerically the
+one 9-dot f32 accumulation the unsplit kernel performs.
 """
 
 from __future__ import annotations
@@ -40,6 +53,9 @@ def _silu(x):
 
 _ACTS = {None: lambda x: x, "silu": _silu}
 
+VMEM_BUDGET = 11 << 20   # stay under the ~16MB scoped limit with headroom
+W_RESIDENT_MAX = 8 << 20  # max resident weight block before the op splits
+
 
 def _conv3x3_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, res_ref, o_ref, *,
                     width: int, act, has_res: bool):
@@ -56,40 +72,55 @@ def _conv3x3_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, res_ref, o_ref, *,
                 patch, w_ref[ky, kx], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    acc = acc + b_ref[...].astype(jnp.float32)
+    if b_ref is not None:
+        acc = acc + b_ref[...].astype(jnp.float32)
     acc = acc.reshape(rows, width, cout)
     if has_res:
         acc = acc + res_ref[0].astype(jnp.float32)
     o_ref[0] = _ACTS[act](acc).astype(o_ref.dtype)
 
 
+def _vmem_model(block_rows, wd, cin, cout, itemsize, out_itemsize, has_res):
+    """Estimated VMEM bytes for one program (x views double-buffered; the
+    constant-index weight is resident once; f32 accumulator on the stack)."""
+    x_views = 3 * block_rows * (wd + 2) * cin * itemsize * 2   # dbl-buffered
+    w = 9 * cin * cout * itemsize                              # resident
+    acc = block_rows * wd * cout * 4
+    out = block_rows * wd * cout * out_itemsize * 2
+    res = block_rows * wd * cout * out_itemsize * 2 if has_res else 0
+    return x_views + w + acc + out + res
+
+
 @functools.partial(
-    jax.jit, static_argnames=("act", "block_rows", "interpret")
+    jax.jit, static_argnames=("act", "block_rows", "out_dtype", "interpret")
 )
-def conv3x3_direct(
+def _conv3x3_call(
     x: jax.Array,       # (B, H, W, Cin)
-    w: jax.Array,       # (3, 3, Cin, Cout) HWIO
-    b: jax.Array | None = None,
+    w: jax.Array,       # (3, 3, Cin, Cout) HWIO — must be resident-sized
+    b: jax.Array | None,
+    residual: jax.Array | None,
     *,
-    residual: jax.Array | None = None,
-    act: str | None = None,
-    block_rows: int | None = None,
+    act: str | None,
+    block_rows: int | None,
+    out_dtype=None,
     interpret: bool | None = None,
 ):
-    """SAME-padding stride-1 3x3 conv, epilogue fused in-kernel."""
+    """One pallas_call: SAME-padding stride-1 3x3 conv, epilogue in-kernel."""
     if interpret is None:
         interpret = interpret_mode()
     n, h, wd, cin = x.shape
     cout = w.shape[3]
-    if b is None:
-        b = jnp.zeros((cout,), jnp.float32)
+    out_dtype = out_dtype or x.dtype
+    has_res = residual is not None
 
     if block_rows is None:
-        # keep x views (3 x (rows+? , W+2, Cin) bf16) + acc + w under VMEM
-        budget = 6 << 20
-        per_row = (wd + 2) * cin * x.dtype.itemsize * 3 * 2  # 3 views, dbl-buf
-        per_row += wd * cout * 4  # f32 acc
-        block_rows = max(1, min(h, budget // max(per_row, 1)))
+        budget = VMEM_BUDGET
+        block_rows = h
+        while block_rows > 1 and _vmem_model(
+            block_rows, wd, cin, cout, x.dtype.itemsize,
+            jnp.dtype(out_dtype).itemsize, has_res,
+        ) > budget:
+            block_rows -= 1
         while h % block_rows:
             block_rows -= 1
 
@@ -106,10 +137,11 @@ def conv3x3_direct(
         for _ in range(3)
     ] + [
         pl.BlockSpec((3, 3, cin, cout), lambda i, j: (0, 0, 0, 0)),
-        pl.BlockSpec((cout,), lambda i, j: (0,)),
     ]
-    args = views + [w, b]
-    has_res = residual is not None
+    args = views + [w]
+    if b is not None:
+        in_specs.append(pl.BlockSpec((cout,), lambda i, j: (0,)))
+        args.append(b)
     if has_res:
         in_specs.append(
             pl.BlockSpec((1, block_rows, wd, cout), lambda i, j: (i, j, 0, 0))
@@ -118,13 +150,19 @@ def conv3x3_direct(
                  if rows_p != h else residual)
         args.append(res_p)
 
-    kernel = functools.partial(
-        _conv3x3_kernel, width=wd, act=act, has_res=has_res
-    )
-    if not has_res:
-        kernel = lambda x0, x1, x2, ww, bb, o: _conv3x3_kernel(  # noqa: E731
-            x0, x1, x2, ww, bb, None, o, width=wd, act=act, has_res=False
-        )
+    base = functools.partial(_conv3x3_kernel, width=wd, act=act,
+                             has_res=has_res)
+    if b is not None and has_res:
+        kernel = base
+    elif b is not None:
+        kernel = lambda x0, x1, x2, ww, bb, o: base(  # noqa: E731
+            x0, x1, x2, ww, bb, None, o)
+    elif has_res:
+        kernel = lambda x0, x1, x2, ww, rr, o: base(  # noqa: E731
+            x0, x1, x2, ww, None, rr, o)
+    else:
+        kernel = lambda x0, x1, x2, ww, o: base(      # noqa: E731
+            x0, x1, x2, ww, None, None, o)
 
     out = pl.pallas_call(
         kernel,
@@ -132,22 +170,129 @@ def conv3x3_direct(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_rows, wd, cout),
                                lambda i, j: (i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, rows_p, wd, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, rows_p, wd, cout), out_dtype),
         interpret=interpret,
     )(*args)
     return out[:, :h] if rows_p != h else out
+
+
+def _direct_or_split(x, w, b, residual, act, out_dtype, block_rows,
+                     interpret):
+    """Recursive planner: one resident-weight pallas_call when it fits, else
+    split — Cout halves (independent kernels, disjoint output slices) or Cin
+    halves (f32 partial sums chained through the residual operand, epilogue
+    only on the last piece — numerically the unsplit kernel's single f32
+    accumulation). Returns None when no feasible plan exists (caller falls
+    back to the XLA conv)."""
+    cin, cout = w.shape[2], w.shape[3]
+    w_bytes = 9 * cin * cout * w.dtype.itemsize
+    # even one row must fit the VMEM model (wide-spatial shapes — the VAE
+    # decode's 1024-wide feature maps — can exceed it at block_rows=1)
+    min_fits = _vmem_model(
+        1, x.shape[2], cin, cout, x.dtype.itemsize,
+        jnp.dtype(out_dtype or x.dtype).itemsize, residual is not None,
+    ) <= VMEM_BUDGET
+    if w_bytes <= W_RESIDENT_MAX and min_fits:
+        return _conv3x3_call(x, w, b, residual, act=act,
+                             block_rows=block_rows, out_dtype=out_dtype,
+                             interpret=interpret)
+    if (w_bytes > W_RESIDENT_MAX and cout % 2 == 0
+            and (cout >= cin or cin % 2)):
+        halves = [
+            _direct_or_split(x, w[..., sl], None if b is None else b[sl],
+                             None if residual is None else residual[..., sl],
+                             act, out_dtype, block_rows, interpret)
+            for sl in (slice(0, cout // 2), slice(cout // 2, cout))
+        ]
+        if any(h is None for h in halves):
+            return None
+        return jnp.concatenate(halves, axis=-1)
+    if cin % 2 == 0 and cin > 16:
+        # cin split halves the x views AND the weight — the lever for both
+        # oversized weights and wide rows
+        half = cin // 2
+        part = _direct_or_split(x[..., :half], w[:, :, :half], None,
+                                residual, None, jnp.float32, block_rows,
+                                interpret)
+        if part is None:
+            return None
+        return _direct_or_split(x[..., half:], w[:, :, half:], b, part,
+                                act, out_dtype, block_rows, interpret)
+    return None
+
+
+def conv3x3_direct(
+    x: jax.Array,       # (B, H, W, Cin)
+    w: jax.Array,       # (3, 3, Cin, Cout) HWIO
+    b: jax.Array | None = None,
+    *,
+    residual: jax.Array | None = None,
+    act: str | None = None,
+    block_rows: int | None = None,
+    interpret: bool | None = None,
+):
+    """SAME-padding stride-1 3x3 conv, epilogue fused in-kernel; splits at
+    the op level when the weight or the row tiles exceed VMEM (see
+    _direct_or_split), falling back to the XLA conv when no plan fits."""
+    out = _direct_or_split(x, w, b, residual, act, None, block_rows,
+                           interpret)
+    if out is not None:
+        return out
+    from stabletriton_tpu.ops import reference
+
+    return reference.conv2d(x, w, b, stride=1, padding=1,
+                            residual=residual, act=act)
 
 
 @register("conv2d", "direct")
 def conv2d_direct(x, w, b=None, *, stride=1, padding=1, residual=None,
                   act=None):
     """Route the 3x3 s1 SAME hot shape through the Pallas kernel; everything
-    else falls back to the XLA reference conv (same contract)."""
+    else falls back to the XLA reference conv (same contract).
+
+    Mesh-aware like the attention bindings (kernels/flash_attention.py):
+    GSPMD treats a pallas_call as opaque and would all-gather the (B,H,W,C)
+    activations onto every chip, so under an active mesh the kernel runs in
+    jax.shard_map over the batch ("data") axis — a conv is embarrassingly
+    parallel over batch, so the local kernel needs no collectives. Weights
+    stay replicated (matching runtime/mesh.py: TP shards only the attention/
+    FF projections, never conv)."""
     from stabletriton_tpu.ops import reference
 
     if (not isinstance(w, tuple) and w.ndim == 4 and w.shape[:2] == (3, 3)
             and stride == 1 and padding == 1
             and act in _ACTS):
+        from stabletriton_tpu.kernels.flash_attention import _mesh_axes
+
+        axes = _mesh_axes()
+        if axes is not None:
+            m, data, dsz, _, _ = axes
+            if dsz > 1 and x.shape[0] % dsz == 0:
+                P = jax.sharding.PartitionSpec
+                bspec = P(data, None, None, None)
+                rspec = P(None)
+                args = [x, w]
+                in_specs = [bspec, P(None, None, None, None)]
+                have_b, have_res = b is not None, residual is not None
+                if have_b:
+                    args.append(b)
+                    in_specs.append(rspec)
+                if have_res:
+                    args.append(residual)
+                    in_specs.append(bspec)
+
+                def local(*a):
+                    xx, ww = a[0], a[1]
+                    i = 2
+                    bb = a[i] if have_b else None
+                    i += int(have_b)
+                    rr = a[i] if have_res else None
+                    return conv3x3_direct(xx, ww, bb, residual=rr, act=act)
+
+                return jax.shard_map(
+                    local, mesh=m, in_specs=tuple(in_specs), out_specs=bspec,
+                    check_vma=False,
+                )(*args)
         return conv3x3_direct(x, w, b, residual=residual, act=act)
     return reference.conv2d(x, w, b, stride=stride, padding=padding,
                             residual=residual, act=act)

@@ -120,17 +120,22 @@ def _plain_softmax_num(s):
 def _flash_kernel(
     q_ref, k_ref, v_ref,    # (1, block_q, D), (1, block_k, D) x2  [BH-major]
     o_ref,                  # (1, block_q, D)
-    m_ref, l_ref, acc_ref,  # scratch: (block_q, LANES) x2, (block_q, D) f32
-    *,
+    *scratch,               # maxsub: m, l (block_q, LANES), acc (block_q, D)
+                            # shift-free: l, acc (no running max needed)
     kv_len: int,
     block_k: int,
     mask_kv: bool,
 ):
+    if _maxsub():
+        m_ref, l_ref, acc_ref = scratch
+    else:
+        l_ref, acc_ref = scratch
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
     def _init():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        if _maxsub():
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -271,8 +276,8 @@ def _packed_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len, head_dim,
 def _packed_flash_kernel(
     q_ref, k_ref, v_ref,    # (1, block_q, LANES), (1, block_k, LANES) x2
     o_ref,                  # (1, block_q, LANES)
-    m_ref, l_ref, acc_ref,  # scratch: (block_q, LANES) f32 x3, lane-chunked
-    *,
+    *scratch,               # (block_q, LANES) f32 each, lane-chunked:
+                            # maxsub m, l, acc; shift-free l, acc only
     kv_len: int,
     block_k: int,
     head_dim: int,
@@ -282,12 +287,19 @@ def _packed_flash_kernel(
     """Head-packed online-softmax kernel (channel-packed layout, kv-innermost
     grid). Scratch is lane-chunked: lanes [i*d:(i+1)*d] of m/l/acc belong to
     sub-head i (m/l hold the per-row running max/denominator broadcast over
-    the sub-head's lanes), so the finalize divide is a plain elementwise op."""
+    the sub-head's lanes), so the finalize divide is a plain elementwise op.
+    The shift-free default needs no running max — it gets 2 scratch buffers,
+    not 3 (one more (block_q, 128) f32 of VMEM headroom for bigger blocks)."""
+    if _maxsub():
+        m_ref, l_ref, acc_ref = scratch
+    else:
+        l_ref, acc_ref = scratch
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
     def _init():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        if _maxsub():
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -422,7 +434,9 @@ def _shrink_to_vmem(bq, bk, sk, h, d, itemsize, mode, pack):
         qo = 2 * bq * eff_lanes * itemsize * 2    # q + o blocks (double-buffered)
         # k + v blocks; double-buffered unless the index map is constant
         kv = 2 * bk * eff_lanes * itemsize * (1 if single_kv else 2)
-        scratch = 0 if single_kv else bq * 3 * LANES * 4  # m, l, acc
+        # online-path scratch: m, l, acc under maxsub; the shift-free
+        # default drops the running max — one fewer f32 buffer
+        scratch = 0 if single_kv else bq * (3 if _maxsub() else 2) * LANES * 4
         temps = temps_factor * bq * bk * 4
         return qo + kv + scratch + temps
 
@@ -584,9 +598,8 @@ def flash_attention(
                 ),
                 out_shape=jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
                 scratch_shapes=[
-                    pltpu.VMEM((block_q, LANES), jnp.float32),
-                    pltpu.VMEM((block_q, LANES), jnp.float32),
-                    pltpu.VMEM((block_q, LANES), jnp.float32),
+                    pltpu.VMEM((block_q, LANES), jnp.float32)
+                    for _ in range(3 if _maxsub() else 2)
                 ],
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -635,11 +648,11 @@ def flash_attention(
             ],
             out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0)),
             out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, LANES), jnp.float32),
-                pltpu.VMEM((block_q, LANES), jnp.float32),
-                pltpu.VMEM((block_q, d), jnp.float32),
-            ],
+            scratch_shapes=(
+                [pltpu.VMEM((block_q, LANES), jnp.float32)]
+                * (2 if _maxsub() else 1)
+                + [pltpu.VMEM((block_q, d), jnp.float32)]
+            ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
@@ -845,9 +858,8 @@ def flash_attention_qkv(
             ),
             out_shape=jax.ShapeDtypeStruct((b, s_p, c), qkv.dtype),
             scratch_shapes=[
-                pltpu.VMEM((block_q, LANES), jnp.float32),
-                pltpu.VMEM((block_q, LANES), jnp.float32),
-                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32)
+                for _ in range(3 if _maxsub() else 2)
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -954,9 +966,8 @@ def flash_attention_kv(
             ),
             out_shape=jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
             scratch_shapes=[
-                pltpu.VMEM((block_q, LANES), jnp.float32),
-                pltpu.VMEM((block_q, LANES), jnp.float32),
-                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32)
+                for _ in range(3 if _maxsub() else 2)
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),

@@ -430,3 +430,55 @@ def test_conv3x3_direct_parity(act, res):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-4)
     want_fb = ops.conv2d(x, w, b, stride=2, padding=((0, 1), (0, 1)))
     np.testing.assert_allclose(np.asarray(fb), np.asarray(want_fb), atol=1e-6)
+
+
+@pytest.mark.parametrize("cin,cout", [(16, 32), (32, 16), (32, 32)])
+def test_conv3x3_direct_split_parity(monkeypatch, cin, cout):
+    """The op-level weight split (kernels/conv_direct.py): when the
+    (3,3,Cin,Cout) weight exceeds the VMEM residency cap, Cout halves become
+    independent kernels and Cin halves chain f32 partial sums through the
+    residual operand. Forced here by shrinking the cap so every split path
+    (cout-only, cin-only via recursion, both) runs at test size — numerics
+    must match the unsplit kernel's single f32 accumulation."""
+    from stabletriton_tpu.kernels import conv_direct
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((1, 6, 8, cin), dtype=np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, cin, cout), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(cout, dtype=np.float32))
+    residual = jnp.asarray(
+        rng.standard_normal((1, 6, 8, cout), dtype=np.float32))
+    ref = conv_direct.conv3x3_direct(x, w, b, residual=residual, act="silu")
+    # cap below one quarter weight: forces recursive cout AND cin splits
+    monkeypatch.setattr(conv_direct, "W_RESIDENT_MAX",
+                        9 * (cin // 2) * (cout // 2) * 4)
+    out = conv_direct.conv3x3_direct(x, w, b, residual=residual, act="silu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    xref = ops.conv2d(x, w, b, residual=residual, act="silu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xref), atol=1e-4)
+
+
+def test_conv3x3_direct_wide_row_guard(monkeypatch):
+    """Wide-spatial shapes where even block_rows=1 exceeds the VMEM model
+    (the VAE decode's 1024-wide maps) must either cin-split once or fall back
+    to the XLA conv — never emit an unfittable pallas_call."""
+    from stabletriton_tpu.kernels import conv_direct
+
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.standard_normal((1, 4, 16, 32), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 32), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(32, dtype=np.float32))
+    ref = ops.conv2d(x, w, b, act="silu")
+    # budget below one-row cost for 32 channels but above it for 16: forces
+    # exactly one cin split
+    one_row_16 = conv_direct._vmem_model(1, 16, 16, 32, 4, 4, False)
+    one_row_32 = conv_direct._vmem_model(1, 16, 32, 32, 4, 4, False)
+    assert one_row_16 < one_row_32
+    monkeypatch.setattr(conv_direct, "VMEM_BUDGET", one_row_16)
+    out = conv_direct.conv3x3_direct(x, w, b, act="silu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # budget below even the half-cin row cost: falls back to the XLA conv
+    monkeypatch.setattr(conv_direct, "VMEM_BUDGET", 1)
+    out_fb = conv_direct.conv3x3_direct(x, w, b, act="silu")
+    np.testing.assert_allclose(np.asarray(out_fb), np.asarray(ref), atol=1e-6)
