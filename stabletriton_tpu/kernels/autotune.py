@@ -314,6 +314,94 @@ def attention_shapes_for_unet(cfg, lat_h: int, lat_w: int, batch: int,
     return sorted(shapes)
 
 
+def conv_key(n: int, h: int, w: int, cin: int, cout: int, dtype,
+             has_res: bool, act) -> str:
+    import jax.numpy as jnp
+
+    return (f"conv3x3:n{n}:h{h}:w{w}:ci{cin}:co{cout}:"
+            f"{jnp.dtype(dtype).name}:res{int(bool(has_res))}:{act or '-'}")
+
+
+def conv_block_rows_candidates(h: int) -> list[int | None]:
+    """block_rows values worth measuring for a direct-conv shape: the VMEM
+    heuristic (None — usually the largest fitting block) plus a power-of-two
+    ladder capped at 32 (the 1024^2 probe showed >=32 explicit rows always
+    losing to the ladder minimum; values that fail to compile are skipped)."""
+    cands: list[int | None] = [None]
+    br = 1
+    while br <= min(h, 32):
+        cands.append(br)
+        br *= 2
+    return cands
+
+
+def tune_conv(n: int, h: int, w: int, cin: int, cout: int, dtype=None,
+              has_res: bool = True, act: str | None = "silu",
+              persist: bool = True, verbose: bool = True) -> dict:
+    """Measure block_rows candidates for one direct-conv shape
+    (kernels/conv_direct.py) and record the winner. The measured callable is
+    the whole conv3x3_direct (op-level splits included — block_rows
+    propagates to every leaf pallas_call)."""
+    import functools as _ft
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stabletriton_tpu.kernels.conv_direct import conv3x3_direct
+    from stabletriton_tpu.runtime.profiling import bench_fn
+
+    dtype = jnp.bfloat16 if dtype is None else dtype
+    key = conv_key(n, h, w, cin, cout, dtype, has_res, act)
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return jnp.asarray(
+            rng.standard_normal(shape, dtype=np.float32)).astype(dtype)
+
+    x = arr(n, h, w, cin)
+    wt = arr(3, 3, cin, cout)
+    b = jnp.zeros((cout,), jnp.float32)
+    res = arr(n, h, w, cout) if has_res else None
+    if cin != cout and not has_res:
+        raise ValueError("tune_conv needs cin == cout or a residual operand "
+                         "to chain the benchmark (runtime/profiling.bench_fn)")
+    best = None
+    # element gets the full block_rows ladder; views (the 3-shifted-copies
+    # escape hatch, ~3x input HBM) competes only at its VMEM-heuristic block
+    # — the probe sweeps showed its ladder never beating its own heuristic
+    # by more than noise while tripling the tuning wall-clock
+    for halo, brs in (("element", conv_block_rows_candidates(h)),
+                      ("views", [None])):
+        for br in brs:
+            # chain the output back through a same-shaped operand so calls
+            # serialize: x when the conv is square, the residual otherwise
+            if cin == cout:
+                f = _ft.partial(lambda xx, _br, _ha: conv3x3_direct(
+                    xx, wt, b, residual=res, act=act, block_rows=_br,
+                    halo=_ha), _br=br, _ha=halo)
+                chain_args = (x,)
+            else:
+                f = _ft.partial(lambda rr, _br, _ha: conv3x3_direct(
+                    x, wt, b, residual=rr, act=act, block_rows=_br,
+                    halo=_ha), _br=br, _ha=halo)
+                chain_args = (res,)
+            try:
+                t = bench_fn(f, *chain_args, chain_arg=0)
+            except Exception:  # config doesn't compile/fit — skip
+                continue
+            if verbose:
+                print(f"  [autotune] {key} halo={halo} block_rows={br}: "
+                      f"{t*1e6:.1f}us", flush=True)
+            if best is None or t < best["t_us"] * 1e-6:
+                best = {"t_us": round(t * 1e6, 2), "halo": halo}
+                if br is not None:
+                    best["block_rows"] = br
+    if best is None:
+        raise RuntimeError(f"no conv config compiled for {key}")
+    record(key, best, persist=persist)
+    return best
+
+
 def ensure_attention_tuned(cfg, lat_h: int, lat_w: int, batch: int,
                            dtype=None, ctx_len: int = 77,
                            cfg_factors: tuple[int, ...] = (2,)) -> None:

@@ -57,6 +57,30 @@ VMEM_BUDGET = 11 << 20   # stay under the ~16MB scoped limit with headroom
 W_RESIDENT_MAX = 8 << 20  # max resident weight block before the op splits
 
 
+def _conv3x3_kernel_elem(x_ref, w_ref, b_ref, res_ref, o_ref, *,
+                         width: int, block_rows: int, act, has_res: bool):
+    """Overlapping-window variant: x_ref is (1, block_rows+2, width+2, Cin)
+    — an `pl.Element` row window starting at j*block_rows, so the ky halo
+    needs no shifted input copies; ky and kx both slice in-register."""
+    cin = x_ref.shape[3]
+    cout = w_ref.shape[3]
+    acc = jnp.zeros((block_rows * width, cout), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            patch = x_ref[0, ky:ky + block_rows, kx:kx + width, :].reshape(
+                block_rows * width, cin)
+            acc = acc + jax.lax.dot_general(
+                patch, w_ref[ky, kx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    if b_ref is not None:
+        acc = acc + b_ref[...].astype(jnp.float32)
+    acc = acc.reshape(block_rows, width, cout)
+    if has_res:
+        acc = acc + res_ref[0].astype(jnp.float32)
+    o_ref[0] = _ACTS[act](acc).astype(o_ref.dtype)
+
+
 def _conv3x3_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, res_ref, o_ref, *,
                     width: int, act, has_res: bool):
     """x{k}_ref: (1, rows, width+2, Cin) — the input rows for kernel row k.
@@ -80,19 +104,43 @@ def _conv3x3_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, res_ref, o_ref, *,
     o_ref[0] = _ACTS[act](acc).astype(o_ref.dtype)
 
 
-def _vmem_model(block_rows, wd, cin, cout, itemsize, out_itemsize, has_res):
-    """Estimated VMEM bytes for one program (x views double-buffered; the
+def _halo_mode() -> str:
+    """How the ky halo reaches the kernel (trace-time, ST_CONV_HALO):
+
+      * "element" (default): ONE height+width-padded input whose row dim is
+        an overlapping `pl.Element` window (block_rows+2 rows starting at
+        j*block_rows) — the input is materialized and read ~once;
+      * "views": three row-offset copies of the padded input, one per kernel
+        row (the round-4 original; Pallas Blocked blocks cannot overlap, so
+        XLA materializes 3 shifted arrays = ~3x the input HBM traffic).
+
+    Kernel-level the two are SHAPE-DEPENDENT (+-10% either way on v5e);
+    step-level "element" wins (9.71 vs 9.58 it/s) so it is the heuristic
+    default, and the per-shape tuned table (autotune.tune_conv) overrides
+    per dispatch. See benchmarks/NOTES.md round-4 conv entries."""
+    import os
+
+    return os.environ.get("ST_CONV_HALO", "element")
+
+
+def _vmem_model(block_rows, wd, cin, cout, itemsize, out_itemsize, has_res,
+                halo=None):
+    """Estimated VMEM bytes for one program (x window(s) double-buffered; the
     constant-index weight is resident once; f32 accumulator on the stack)."""
-    x_views = 3 * block_rows * (wd + 2) * cin * itemsize * 2   # dbl-buffered
+    if (halo or _halo_mode()) == "element":
+        x_in = (block_rows + 2) * (wd + 2) * cin * itemsize * 2  # dbl-buffered
+    else:
+        x_in = 3 * block_rows * (wd + 2) * cin * itemsize * 2
     w = 9 * cin * cout * itemsize                              # resident
     acc = block_rows * wd * cout * 4
     out = block_rows * wd * cout * out_itemsize * 2
     res = block_rows * wd * cout * out_itemsize * 2 if has_res else 0
-    return x_views + w + acc + out + res
+    return x_in + w + acc + out + res
 
 
 @functools.partial(
-    jax.jit, static_argnames=("act", "block_rows", "out_dtype", "interpret")
+    jax.jit,
+    static_argnames=("act", "block_rows", "out_dtype", "halo", "interpret"),
 )
 def _conv3x3_call(
     x: jax.Array,       # (B, H, W, Cin)
@@ -103,6 +151,7 @@ def _conv3x3_call(
     act: str | None,
     block_rows: int | None,
     out_dtype=None,
+    halo: str | None = None,
     interpret: bool | None = None,
 ):
     """One pallas_call: SAME-padding stride-1 3x3 conv, epilogue in-kernel."""
@@ -118,27 +167,43 @@ def _conv3x3_call(
         block_rows = h
         while block_rows > 1 and _vmem_model(
             block_rows, wd, cin, cout, x.dtype.itemsize,
-            jnp.dtype(out_dtype).itemsize, has_res,
+            jnp.dtype(out_dtype).itemsize, has_res, halo,
         ) > budget:
             block_rows -= 1
         while h % block_rows:
             block_rows -= 1
 
     rows_p = round_up(h, block_rows)
-    # width-pad once; the three ky row views are row-offset slices of the
-    # height-padded array (Pallas blocks cannot overlap, so the halo is
-    # expressed as three shifted inputs — XLA serves them as views)
     xp = jnp.pad(x, ((0, 0), (1, 1 + rows_p - h), (1, 1), (0, 0)))
-    views = [xp[:, k:k + rows_p, :, :] for k in range(3)]
-
     grid = (n, rows_p // block_rows)
-    in_specs = [
-        pl.BlockSpec((1, block_rows, wd + 2, cin), lambda i, j: (i, j, 0, 0))
-        for _ in range(3)
-    ] + [
-        pl.BlockSpec((3, 3, cin, cout), lambda i, j: (0, 0, 0, 0)),
-    ]
-    args = views + [w]
+
+    elem = (halo or _halo_mode()) == "element"
+    if elem:
+        # ONE padded input; the row dim is an overlapping Element window of
+        # block_rows+2 rows starting at j*block_rows — no shifted copies
+        br = block_rows
+        # Mosaic requires every dim of a spec to be Element or none: the
+        # index map is then all element offsets (batch blocks are size 1,
+        # so the batch offset is just i)
+        in_specs = [
+            pl.BlockSpec((pl.Element(1), pl.Element(br + 2),
+                          pl.Element(wd + 2), pl.Element(cin)),
+                         lambda i, j: (i, j * br, 0, 0)),
+            pl.BlockSpec((3, 3, cin, cout), lambda i, j: (0, 0, 0, 0)),
+        ]
+        args = [xp, w]
+    else:
+        # three ky row views — row-offset slices of the padded array
+        # (Blocked Pallas blocks cannot overlap; XLA materializes the views)
+        views = [xp[:, k:k + rows_p, :, :] for k in range(3)]
+        in_specs = [
+            pl.BlockSpec((1, block_rows, wd + 2, cin),
+                         lambda i, j: (i, j, 0, 0))
+            for _ in range(3)
+        ] + [
+            pl.BlockSpec((3, 3, cin, cout), lambda i, j: (0, 0, 0, 0)),
+        ]
+        args = views + [w]
     if b is not None:
         in_specs.append(pl.BlockSpec((cout,), lambda i, j: (0,)))
         args.append(b)
@@ -150,19 +215,35 @@ def _conv3x3_call(
                  if rows_p != h else residual)
         args.append(res_p)
 
-    base = functools.partial(_conv3x3_kernel, width=wd, act=act,
-                             has_res=has_res)
-    if b is not None and has_res:
-        kernel = base
-    elif b is not None:
-        kernel = lambda x0, x1, x2, ww, bb, o: base(  # noqa: E731
-            x0, x1, x2, ww, bb, None, o)
-    elif has_res:
-        kernel = lambda x0, x1, x2, ww, rr, o: base(  # noqa: E731
-            x0, x1, x2, ww, None, rr, o)
+    if elem:
+        base = functools.partial(_conv3x3_kernel_elem, width=wd,
+                                 block_rows=block_rows, act=act,
+                                 has_res=has_res)
+        if b is not None and has_res:
+            kernel = base
+        elif b is not None:
+            kernel = lambda xx, ww, bb, o: base(      # noqa: E731
+                xx, ww, bb, None, o)
+        elif has_res:
+            kernel = lambda xx, ww, rr, o: base(      # noqa: E731
+                xx, ww, None, rr, o)
+        else:
+            kernel = lambda xx, ww, o: base(          # noqa: E731
+                xx, ww, None, None, o)
     else:
-        kernel = lambda x0, x1, x2, ww, o: base(      # noqa: E731
-            x0, x1, x2, ww, None, None, o)
+        base = functools.partial(_conv3x3_kernel, width=wd, act=act,
+                                 has_res=has_res)
+        if b is not None and has_res:
+            kernel = base
+        elif b is not None:
+            kernel = lambda x0, x1, x2, ww, bb, o: base(  # noqa: E731
+                x0, x1, x2, ww, bb, None, o)
+        elif has_res:
+            kernel = lambda x0, x1, x2, ww, rr, o: base(  # noqa: E731
+                x0, x1, x2, ww, None, rr, o)
+        else:
+            kernel = lambda x0, x1, x2, ww, o: base(      # noqa: E731
+                x0, x1, x2, ww, None, None, o)
 
     out = pl.pallas_call(
         kernel,
@@ -176,7 +257,7 @@ def _conv3x3_call(
     return out[:, :h] if rows_p != h else out
 
 
-def _direct_or_split(x, w, b, residual, act, out_dtype, block_rows,
+def _direct_or_split(x, w, b, residual, act, out_dtype, block_rows, halo,
                      interpret):
     """Recursive planner: one resident-weight pallas_call when it fits, else
     split — Cout halves (independent kernels, disjoint output slices) or Cin
@@ -190,18 +271,18 @@ def _direct_or_split(x, w, b, residual, act, out_dtype, block_rows,
     # decode's 1024-wide feature maps — can exceed it at block_rows=1)
     min_fits = _vmem_model(
         1, x.shape[2], cin, cout, x.dtype.itemsize,
-        jnp.dtype(out_dtype or x.dtype).itemsize, residual is not None,
+        jnp.dtype(out_dtype or x.dtype).itemsize, residual is not None, halo,
     ) <= VMEM_BUDGET
     if w_bytes <= W_RESIDENT_MAX and min_fits:
         return _conv3x3_call(x, w, b, residual, act=act,
                              block_rows=block_rows, out_dtype=out_dtype,
-                             interpret=interpret)
+                             halo=halo, interpret=interpret)
     if (w_bytes > W_RESIDENT_MAX and cout % 2 == 0
             and (cout >= cin or cin % 2)):
         halves = [
             _direct_or_split(x, w[..., sl], None if b is None else b[sl],
                              None if residual is None else residual[..., sl],
-                             act, out_dtype, block_rows, interpret)
+                             act, out_dtype, block_rows, halo, interpret)
             for sl in (slice(0, cout // 2), slice(cout // 2, cout))
         ]
         if any(h is None for h in halves):
@@ -213,11 +294,11 @@ def _direct_or_split(x, w, b, residual, act, out_dtype, block_rows,
         half = cin // 2
         part = _direct_or_split(x[..., :half], w[:, :, :half], None,
                                 residual, None, jnp.float32, block_rows,
-                                interpret)
+                                halo, interpret)
         if part is None:
             return None
         return _direct_or_split(x[..., half:], w[:, :, half:], b, part,
-                                act, out_dtype, block_rows, interpret)
+                                act, out_dtype, block_rows, halo, interpret)
     return None
 
 
@@ -229,12 +310,29 @@ def conv3x3_direct(
     residual: jax.Array | None = None,
     act: str | None = None,
     block_rows: int | None = None,
+    halo: str | None = None,
     interpret: bool | None = None,
 ):
     """SAME-padding stride-1 3x3 conv, epilogue fused in-kernel; splits at
     the op level when the weight or the row tiles exceed VMEM (see
-    _direct_or_split), falling back to the XLA conv when no plan fits."""
-    out = _direct_or_split(x, w, b, residual, act, None, block_rows,
+    _direct_or_split), falling back to the XLA conv when no plan fits.
+    ``block_rows`` and ``halo`` default to the per-shape tuned table entry
+    (kernels/autotune.py tune_conv) when one exists, else the VMEM-model
+    heuristic / ST_CONV_HALO (element vs views is SHAPE-DEPENDENT on v5e:
+    +-10% either way, see NOTES.md); explicit values propagate to every
+    op-split leaf."""
+    if block_rows is None and halo is None:
+        from stabletriton_tpu.kernels import autotune
+
+        tuned = autotune.lookup(autotune.conv_key(
+            x.shape[0], x.shape[1], x.shape[2], w.shape[2], w.shape[3],
+            x.dtype, residual is not None, act))
+        if tuned is not None:
+            if "block_rows" in tuned:
+                block_rows = int(tuned["block_rows"])
+            if "halo" in tuned:
+                halo = str(tuned["halo"])
+    out = _direct_or_split(x, w, b, residual, act, None, block_rows, halo,
                            interpret)
     if out is not None:
         return out

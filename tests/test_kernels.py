@@ -482,3 +482,25 @@ def test_conv3x3_direct_wide_row_guard(monkeypatch):
     monkeypatch.setattr(conv_direct, "VMEM_BUDGET", 1)
     out_fb = conv_direct.conv3x3_direct(x, w, b, act="silu")
     np.testing.assert_allclose(np.asarray(out_fb), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("halo", ["element", "views"])
+def test_conv3x3_direct_halo_modes(monkeypatch, halo):
+    """Both halo strategies (ST_CONV_HALO): the overlapping Element-window
+    default and the three-shifted-views escape hatch must agree with the XLA
+    conv."""
+    from stabletriton_tpu.kernels import conv_direct
+
+    monkeypatch.setenv("ST_CONV_HALO", halo)
+    # the halo mode is read at trace time: force a retrace so the second
+    # parametrization doesn't silently reuse the first's executable
+    conv_direct._conv3x3_call._clear_cache()
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((2, 9, 8, 16), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 16), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+    res = jnp.asarray(rng.standard_normal((2, 9, 8, 16), dtype=np.float32))
+    out = conv_direct.conv3x3_direct(x, w, b, residual=res, act="silu",
+                                     block_rows=3)
+    ref = ops.conv2d(x, w, b, residual=res, act="silu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
