@@ -156,6 +156,7 @@ def tune_attention(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
                    persist: bool = True, verbose: bool = True) -> dict:
     """Measure candidates for one attention shape on the current device and
     record the winner. Returns the winning config."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -177,10 +178,12 @@ def tune_attention(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
         for bq, bk in attention_candidates(sq, sk, h, d,
                                            jnp.dtype(dtype).itemsize):
             try:
-                f = functools.partial(
+                # jit: the kernel wrapper's Python-level reshapes would
+                # otherwise dispatch eagerly per call (see tune_conv note)
+                f = jax.jit(functools.partial(
                     flash_attention, num_heads=h, block_q=bq, block_k=bk,
                     variant=variant,
-                )
+                ))
                 t = bench_fn(f, q, k, v, chain_arg=0)
             except Exception:  # config doesn't compile/fit — skip
                 continue
@@ -374,16 +377,23 @@ def tune_conv(n: int, h: int, w: int, cin: int, cout: int, dtype=None,
                       ("views", [None])):
         for br in brs:
             # chain the output back through a same-shaped operand so calls
-            # serialize: x when the conv is square, the residual otherwise
+            # serialize: x when the conv is square, the residual otherwise.
+            # jit the candidate: the op-split plans (32x32x1280 etc.) are a
+            # Python composition of several pallas_calls + slices whose
+            # per-call EAGER dispatch over the tunnel dwarfs the kernel
+            # (measured 6-12 ms vs the jitted 0.4 ms) and scales with chain
+            # length, so the slope does NOT cancel it
+            import jax as _jax
+
             if cin == cout:
-                f = _ft.partial(lambda xx, _br, _ha: conv3x3_direct(
+                f = _jax.jit(_ft.partial(lambda xx, _br, _ha: conv3x3_direct(
                     xx, wt, b, residual=res, act=act, block_rows=_br,
-                    halo=_ha), _br=br, _ha=halo)
+                    halo=_ha), _br=br, _ha=halo))
                 chain_args = (x,)
             else:
-                f = _ft.partial(lambda rr, _br, _ha: conv3x3_direct(
+                f = _jax.jit(_ft.partial(lambda rr, _br, _ha: conv3x3_direct(
                     x, wt, b, residual=rr, act=act, block_rows=_br,
-                    halo=_ha), _br=br, _ha=halo)
+                    halo=_ha), _br=br, _ha=halo))
                 chain_args = (res,)
             try:
                 t = bench_fn(f, *chain_args, chain_arg=0)
