@@ -100,6 +100,39 @@ def main(which: str | None = None):
                                  (2, 32, 1280, 1280), (2, 128, 640, 640)]:
             conv_ab(n, hw, cin, cout)
 
+    if which in (None, "gn_conv"):
+        # GN+SiLU -> 3x3 conv+bias+res, the resnet hot PAIR: unfused (default
+        # bf16apply GN + direct conv — two HBM round-trips at the boundary)
+        # vs gn_conv2d="fused" (GN apply absorbed into the conv kernel's
+        # input read, stats one XLA pass)
+        def gnconv_ab(n, hw, cin, cout):
+            x = arr(n, hw, hw, cin)
+            g = jnp.ones(cin, jnp.float32)
+            bta = jnp.zeros(cin, jnp.float32)
+            w = arr(3, 3, cin, cout)
+            b = jnp.zeros((cout,), jnp.float32)
+            res = arr(n, hw, hw, cout)
+            results = {}
+            for backend in ("reference", "fused"):
+                with ops.use_backends({"gn_conv2d": backend,
+                                       "group_norm": "bf16apply",
+                                       "conv2d": "direct"}):
+                    f = jax.jit(lambda *a: ops.dispatch(
+                        "gn_conv2d", *a, num_groups=32, gn_act="silu",
+                        residual=res))
+                    results[backend] = bench_fn(f, x, g, bta, w, b,
+                                                chain_arg=0)
+            r, p = results["reference"], results["fused"]
+            flops = 2 * n * hw * hw * 9 * cin * cout
+            print(f"gn_conv2d   N{n} {hw}x{hw} {cin}->{cout} gn+silu+bias+res "
+                  f"unfused {r*1e3:8.3f}ms ({flops/r/1e12:5.1f} TF/s)  "
+                  f"fused {p*1e3:8.3f}ms ({flops/p/1e12:5.1f} TF/s)  "
+                  f"speedup {r/p:5.2f}x", flush=True)
+
+        for n, hw, cin, cout in [(2, 128, 320, 320), (2, 64, 640, 640),
+                                 (2, 32, 1280, 1280), (2, 128, 640, 640)]:
+            gnconv_ab(n, hw, cin, cout)
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -57,24 +57,45 @@ VMEM_BUDGET = 11 << 20   # stay under the ~16MB scoped limit with headroom
 W_RESIDENT_MAX = 8 << 20  # max resident weight block before the op splits
 
 
-def _conv3x3_kernel_elem(x_ref, w_ref, b_ref, res_ref, o_ref, *,
-                         width: int, block_rows: int, act, has_res: bool):
+def _conv3x3_kernel_elem(x_ref, w_ref, b_ref, res_ref, gs_ref, gsh_ref,
+                         o_ref, *, width: int, block_rows: int, act,
+                         has_res: bool, gn_act=None, valid_rows: int = 0):
     """Overlapping-window variant: x_ref is (1, block_rows+2, width+2, Cin)
     — an `pl.Element` row window starting at j*block_rows, so the ky halo
-    needs no shifted input copies; ky and kx both slice in-register."""
+    needs no shifted input copies; ky and kx both slice in-register.
+
+    ``gs_ref``/``gsh_ref`` (optional, (1, Cin) f32): per-(batch, channel)
+    GroupNorm scale/shift applied to the input window in-register (norm +
+    ``gn_act`` + zero-mask of the SAME-padding border — raw x is padded with
+    zeros, and normalize(0) != 0) — fusing the GN apply pass into the conv's
+    one read of x. ``valid_rows`` is the unpadded H for the row mask."""
     cin = x_ref.shape[3]
     cout = w_ref.shape[3]
+    if gs_ref is not None:
+        j = pl.program_id(1)
+        xw = x_ref[0].astype(jnp.float32) * gs_ref[0] + gsh_ref[0]
+        xw = _ACTS[gn_act](xw)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows + 2, width + 2), 0) + j * block_rows
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows + 2, width + 2), 1)
+        valid = ((rows >= 1) & (rows <= valid_rows)
+                 & (cols >= 1) & (cols <= width))
+        xw = jnp.where(valid[..., None], xw, 0.0).astype(x_ref.dtype)
+    else:
+        xw = x_ref[0]
     acc = jnp.zeros((block_rows * width, cout), jnp.float32)
     for ky in range(3):
         for kx in range(3):
-            patch = x_ref[0, ky:ky + block_rows, kx:kx + width, :].reshape(
+            patch = xw[ky:ky + block_rows, kx:kx + width, :].reshape(
                 block_rows * width, cin)
             acc = acc + jax.lax.dot_general(
                 patch, w_ref[ky, kx], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
     if b_ref is not None:
-        acc = acc + b_ref[...].astype(jnp.float32)
+        # (Cout,) shared or (1, Cout) per-batch bias — both broadcast
+        acc = acc + b_ref[...].reshape(1, cout).astype(jnp.float32)
     acc = acc.reshape(block_rows, width, cout)
     if has_res:
         acc = acc + res_ref[0].astype(jnp.float32)
@@ -97,7 +118,7 @@ def _conv3x3_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, res_ref, o_ref, *,
                 preferred_element_type=jnp.float32,
             )
     if b_ref is not None:
-        acc = acc + b_ref[...].astype(jnp.float32)
+        acc = acc + b_ref[...].reshape(1, cout).astype(jnp.float32)
     acc = acc.reshape(rows, width, cout)
     if has_res:
         acc = acc + res_ref[0].astype(jnp.float32)
@@ -124,7 +145,7 @@ def _halo_mode() -> str:
 
 
 def _vmem_model(block_rows, wd, cin, cout, itemsize, out_itemsize, has_res,
-                halo=None):
+                halo=None, gn=False):
     """Estimated VMEM bytes for one program (x window(s) double-buffered; the
     constant-index weight is resident once; f32 accumulator on the stack)."""
     if (halo or _halo_mode()) == "element":
@@ -135,12 +156,15 @@ def _vmem_model(block_rows, wd, cin, cout, itemsize, out_itemsize, has_res,
     acc = block_rows * wd * cout * 4
     out = block_rows * wd * cout * out_itemsize * 2
     res = block_rows * wd * cout * out_itemsize * 2 if has_res else 0
-    return x_in + w + acc + out + res
+    # fused GN apply materializes an f32 normalized window on the stack
+    gn_tmp = (block_rows + 2) * (wd + 2) * cin * 4 if gn else 0
+    return x_in + w + acc + out + res + gn_tmp
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "block_rows", "out_dtype", "halo", "interpret"),
+    static_argnames=("act", "block_rows", "out_dtype", "halo", "gn_act",
+                     "interpret"),
 )
 def _conv3x3_call(
     x: jax.Array,       # (B, H, W, Cin)
@@ -152,22 +176,31 @@ def _conv3x3_call(
     block_rows: int | None,
     out_dtype=None,
     halo: str | None = None,
+    gn_scale: jax.Array | None = None,   # (B, Cin) f32 — fused GN apply
+    gn_shift: jax.Array | None = None,
+    gn_act: str | None = None,
     interpret: bool | None = None,
 ):
-    """One pallas_call: SAME-padding stride-1 3x3 conv, epilogue in-kernel."""
+    """One pallas_call: SAME-padding stride-1 3x3 conv, epilogue in-kernel.
+
+    ``b`` may be (Cout,) (shared) or (B, Cout) (per-batch — e.g. the resnet
+    time-embedding folded into conv1's bias). ``gn_scale``/``gn_shift`` fuse
+    the GroupNorm apply (+``gn_act``) into the kernel's input read (element
+    halo only — the window is normalized once in-register)."""
     if interpret is None:
         interpret = interpret_mode()
     n, h, wd, cin = x.shape
     cout = w.shape[3]
     out_dtype = out_dtype or x.dtype
     has_res = residual is not None
+    has_gn = gn_scale is not None
 
     if block_rows is None:
         budget = VMEM_BUDGET
         block_rows = h
         while block_rows > 1 and _vmem_model(
             block_rows, wd, cin, cout, x.dtype.itemsize,
-            jnp.dtype(out_dtype).itemsize, has_res, halo,
+            jnp.dtype(out_dtype).itemsize, has_res, halo, has_gn,
         ) > budget:
             block_rows -= 1
         while h % block_rows:
@@ -178,6 +211,7 @@ def _conv3x3_call(
     grid = (n, rows_p // block_rows)
 
     elem = (halo or _halo_mode()) == "element"
+    assert not (has_gn and not elem), "fused GN needs the element halo"
     if elem:
         # ONE padded input; the row dim is an overlapping Element window of
         # block_rows+2 rows starting at j*block_rows — no shifted copies
@@ -205,7 +239,10 @@ def _conv3x3_call(
         ]
         args = views + [w]
     if b is not None:
-        in_specs.append(pl.BlockSpec((cout,), lambda i, j: (0,)))
+        if b.ndim == 2:  # (B, Cout) per-batch bias
+            in_specs.append(pl.BlockSpec((1, cout), lambda i, j: (i, 0)))
+        else:
+            in_specs.append(pl.BlockSpec((cout,), lambda i, j: (0,)))
         args.append(b)
     if has_res:
         in_specs.append(
@@ -214,22 +251,27 @@ def _conv3x3_call(
         res_p = (jnp.pad(residual, ((0, 0), (0, rows_p - h), (0, 0), (0, 0)))
                  if rows_p != h else residual)
         args.append(res_p)
+    if has_gn:
+        for arr in (gn_scale, gn_shift):
+            in_specs.append(pl.BlockSpec((1, cin), lambda i, j: (i, 0)))
+            args.append(arr.astype(jnp.float32))
 
     if elem:
+        has_b = b is not None
         base = functools.partial(_conv3x3_kernel_elem, width=wd,
                                  block_rows=block_rows, act=act,
-                                 has_res=has_res)
-        if b is not None and has_res:
-            kernel = base
-        elif b is not None:
-            kernel = lambda xx, ww, bb, o: base(      # noqa: E731
-                xx, ww, bb, None, o)
-        elif has_res:
-            kernel = lambda xx, ww, rr, o: base(      # noqa: E731
-                xx, ww, None, rr, o)
-        else:
-            kernel = lambda xx, ww, o: base(          # noqa: E731
-                xx, ww, None, None, o)
+                                 has_res=has_res, gn_act=gn_act,
+                                 valid_rows=h)
+
+        def kernel(*refs):  # refs = (*in_refs, o_ref); presence-flag mapping
+            i = 2
+            bb = refs[i] if has_b else None
+            i += int(has_b)
+            rr = refs[i] if has_res else None
+            i += int(has_res)
+            gs = refs[i] if has_gn else None
+            gsh = refs[i + 1] if has_gn else None
+            base(refs[0], refs[1], bb, rr, gs, gsh, refs[-1])
     else:
         base = functools.partial(_conv3x3_kernel, width=wd, act=act,
                                  has_res=has_res)
@@ -258,31 +300,37 @@ def _conv3x3_call(
 
 
 def _direct_or_split(x, w, b, residual, act, out_dtype, block_rows, halo,
-                     interpret):
+                     interpret, gn_scale=None, gn_shift=None, gn_act=None):
     """Recursive planner: one resident-weight pallas_call when it fits, else
     split — Cout halves (independent kernels, disjoint output slices) or Cin
     halves (f32 partial sums chained through the residual operand, epilogue
     only on the last piece — numerically the unsplit kernel's single f32
-    accumulation). Returns None when no feasible plan exists (caller falls
-    back to the XLA conv)."""
+    accumulation). Fused-GN scale/shift slice with Cin and ride along with
+    Cout. Returns None when no feasible plan exists (caller falls back to
+    the XLA conv)."""
     cin, cout = w.shape[2], w.shape[3]
+    has_gn = gn_scale is not None
     w_bytes = 9 * cin * cout * w.dtype.itemsize
     # even one row must fit the VMEM model (wide-spatial shapes — the VAE
     # decode's 1024-wide feature maps — can exceed it at block_rows=1)
     min_fits = _vmem_model(
         1, x.shape[2], cin, cout, x.dtype.itemsize,
         jnp.dtype(out_dtype or x.dtype).itemsize, residual is not None, halo,
+        has_gn,
     ) <= VMEM_BUDGET
     if w_bytes <= W_RESIDENT_MAX and min_fits:
         return _conv3x3_call(x, w, b, residual, act=act,
                              block_rows=block_rows, out_dtype=out_dtype,
-                             halo=halo, interpret=interpret)
+                             halo=halo, gn_scale=gn_scale, gn_shift=gn_shift,
+                             gn_act=gn_act, interpret=interpret)
     if (w_bytes > W_RESIDENT_MAX and cout % 2 == 0
             and (cout >= cin or cin % 2)):
         halves = [
-            _direct_or_split(x, w[..., sl], None if b is None else b[sl],
+            _direct_or_split(x, w[..., sl],
+                             None if b is None else b[..., sl],
                              None if residual is None else residual[..., sl],
-                             act, out_dtype, block_rows, halo, interpret)
+                             act, out_dtype, block_rows, halo, interpret,
+                             gn_scale, gn_shift, gn_act)
             for sl in (slice(0, cout // 2), slice(cout // 2, cout))
         ]
         if any(h is None for h in halves):
@@ -292,13 +340,18 @@ def _direct_or_split(x, w, b, residual, act, out_dtype, block_rows, halo,
         # cin split halves the x views AND the weight — the lever for both
         # oversized weights and wide rows
         half = cin // 2
-        part = _direct_or_split(x[..., :half], w[:, :, :half], None,
-                                residual, None, jnp.float32, block_rows,
-                                halo, interpret)
+        part = _direct_or_split(
+            x[..., :half], w[:, :, :half], None, residual, None, jnp.float32,
+            block_rows, halo, interpret,
+            None if gn_scale is None else gn_scale[:, :half],
+            None if gn_shift is None else gn_shift[:, :half], gn_act)
         if part is None:
             return None
-        return _direct_or_split(x[..., half:], w[:, :, half:], b, part,
-                                act, out_dtype, block_rows, halo, interpret)
+        return _direct_or_split(
+            x[..., half:], w[:, :, half:], b, part, act, out_dtype,
+            block_rows, halo, interpret,
+            None if gn_scale is None else gn_scale[:, half:],
+            None if gn_shift is None else gn_shift[:, half:], gn_act)
     return None
 
 
@@ -311,6 +364,9 @@ def conv3x3_direct(
     act: str | None = None,
     block_rows: int | None = None,
     halo: str | None = None,
+    gn_scale: jax.Array | None = None,
+    gn_shift: jax.Array | None = None,
+    gn_act: str | None = None,
     interpret: bool | None = None,
 ):
     """SAME-padding stride-1 3x3 conv, epilogue fused in-kernel; splits at
@@ -320,8 +376,12 @@ def conv3x3_direct(
     (kernels/autotune.py tune_conv) when one exists, else the VMEM-model
     heuristic / ST_CONV_HALO (element vs views is SHAPE-DEPENDENT on v5e:
     +-10% either way, see NOTES.md); explicit values propagate to every
-    op-split leaf."""
-    if block_rows is None and halo is None:
+    op-split leaf. ``gn_scale``/``gn_shift`` ((B, Cin) f32) fuse the GN
+    apply + ``gn_act`` into the kernel's input read (forces the element
+    halo; the tuned block_rows still applies). Returns None-fallback via
+    the XLA conv on the *un-normalized* input only when gn is absent —
+    with gn the caller handles infeasible plans."""
+    if block_rows is None and (halo is None or gn_scale is not None):
         from stabletriton_tpu.kernels import autotune
 
         tuned = autotune.lookup(autotune.conv_key(
@@ -330,16 +390,116 @@ def conv3x3_direct(
         if tuned is not None:
             if "block_rows" in tuned:
                 block_rows = int(tuned["block_rows"])
-            if "halo" in tuned:
+            if "halo" in tuned and halo is None:
                 halo = str(tuned["halo"])
+    if gn_scale is not None:
+        halo = "element"  # the only halo the fused-GN kernel supports
     out = _direct_or_split(x, w, b, residual, act, None, block_rows, halo,
-                           interpret)
-    if out is not None:
+                           interpret, gn_scale, gn_shift, gn_act)
+    if out is not None or gn_scale is not None:
         return out
     from stabletriton_tpu.ops import reference
 
     return reference.conv2d(x, w, b, stride=1, padding=1,
                             residual=residual, act=act)
+
+
+def _gn_fold(x, gamma, beta, num_groups, eps):
+    """f32 GroupNorm moments over (H, W) -> per-(batch, channel) scale/shift
+    ((B, C) f32) such that ``normalize(x) = x * scale + shift``. One XLA read
+    of x; the apply pass is what the fused conv kernel absorbs."""
+    n, h, w, c = x.shape
+    per = c // num_groups
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 2))
+    cnt = h * w * per
+    mean = s1.reshape(n, num_groups, per).sum(-1) / cnt
+    ex2 = s2.reshape(n, num_groups, per).sum(-1) / cnt
+    rstd = jax.lax.rsqrt(jnp.maximum(ex2 - jnp.square(mean), 0.0) + eps)
+    scale = jnp.repeat(rstd, per, axis=1) * gamma.astype(jnp.float32)
+    shift = beta.astype(jnp.float32) - jnp.repeat(mean, per, axis=1) * scale
+    return scale, shift
+
+
+@register("gn_conv2d", "fused")
+def gn_conv2d_fused(x, gamma, beta, w, b=None, *, num_groups=32, eps=1e-5,
+                    gn_act="silu", stride=1, padding=1, residual=None,
+                    act=None):
+    """GroupNorm(+act) -> 3x3 conv with the GN apply fused into the conv's
+    input read: XLA cannot fuse elementwise work into a pallas_call, so the
+    unfused pair pays a full HBM write+read of the normalized activation at
+    the GN/conv boundary; here the conv kernel normalizes its input window
+    in-register (stats are one XLA read, kernels absorb the apply). Numerics:
+    f32 moments, normalize+act in f32, cast to the input dtype for the MXU
+    dots — at least as tight as the default ``group_norm=bf16apply`` binding.
+    Ineligible shapes (non-3x3/strided/quantized, or no feasible VMEM plan)
+    fall back to the unfused dispatch pair."""
+    from stabletriton_tpu.ops import registry
+
+    eligible = (not isinstance(w, tuple) and w.ndim == 4
+                and w.shape[:2] == (3, 3) and stride == 1 and padding == 1
+                and act in _ACTS and gn_act in _ACTS
+                and x.shape[3] % num_groups == 0)
+    if eligible:
+        scale, shift = _gn_fold(x, gamma, beta, num_groups, float(eps))
+        from stabletriton_tpu.kernels.flash_attention import _mesh_axes
+
+        axes = _mesh_axes()
+        if axes is not None:
+            m, data, dsz, _, _ = axes
+            if dsz > 1 and x.shape[0] % dsz == 0:
+                P = jax.sharding.PartitionSpec
+                bspec = P(data, None, None, None)
+                vspec = P(data, None)
+                args = [x, w, scale, shift]
+                in_specs = [bspec, P(None, None, None, None), vspec, vspec]
+                have_b, have_res = b is not None, residual is not None
+                if have_b:
+                    args.append(b)
+                    in_specs.append(vspec if b.ndim == 2 else P(None))
+                if have_res:
+                    args.append(residual)
+                    in_specs.append(bspec)
+
+                def local(*a):
+                    xx, ww, gs, gsh = a[:4]
+                    i = 4
+                    bb = a[i] if have_b else None
+                    i += int(have_b)
+                    rr = a[i] if have_res else None
+                    o = conv3x3_direct(xx, ww, bb, residual=rr, act=act,
+                                       gn_scale=gs, gn_shift=gsh,
+                                       gn_act=gn_act)
+                    if o is None:  # no VMEM plan (trace-time): unfused local
+                        from stabletriton_tpu.ops import reference
+
+                        xn = _ACTS[gn_act](
+                            xx.astype(jnp.float32) * gs[:, None, None, :]
+                            + gsh[:, None, None, :]).astype(xx.dtype)
+                        o = reference.conv2d(xn, ww, bb, stride=1, padding=1,
+                                             residual=rr, act=act)
+                    return o
+
+                out = jax.shard_map(
+                    local, mesh=m, in_specs=tuple(in_specs), out_specs=bspec,
+                    check_vma=False,
+                )(*args)
+            else:
+                out = conv3x3_direct(x, w, b, residual=residual, act=act,
+                                     gn_scale=scale, gn_shift=shift,
+                                     gn_act=gn_act)
+        else:
+            out = conv3x3_direct(x, w, b, residual=residual, act=act,
+                                 gn_scale=scale, gn_shift=shift,
+                                 gn_act=gn_act)
+        if out is not None:
+            return out
+    # unfused fallback: compose through the active binding
+    h = registry.dispatch("group_norm", x, gamma, beta,
+                          num_groups=num_groups, eps=eps, act=gn_act)
+    return registry.dispatch("conv2d", h, w, b, stride=stride,
+                             padding=padding, residual=residual, act=act)
 
 
 @register("conv2d", "direct")
@@ -374,7 +534,9 @@ def conv2d_direct(x, w, b=None, *, stride=1, padding=1, residual=None,
                 have_b, have_res = b is not None, residual is not None
                 if have_b:
                     args.append(b)
-                    in_specs.append(rspec)
+                    # (B, Cout) per-batch bias shards with the batch;
+                    # (Cout,) shared bias replicates
+                    in_specs.append(P(data, None) if b.ndim == 2 else rspec)
                 if have_res:
                     args.append(residual)
                     in_specs.append(bspec)

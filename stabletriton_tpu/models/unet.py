@@ -340,25 +340,28 @@ def init_unet_params(
 def _resnet(p, key: str, x, temb, cfg: UNetConfig, emb=None):
     """ResnetBlock2D: GN+SiLU -> conv -> +time -> GN+SiLU -> conv -> +skip.
 
-    Fusion targets per reference ``optimizations.txt`` (ResNet section): the
-    GroupNorm+SiLU pairs are single fused ops here; conv carries bias (and the
-    shortcut add fuses into conv2's epilogue via the conv2d op's residual arg).
+    Fusion targets per reference ``optimizations.txt`` (ResNet section), one
+    step further: each GN+SiLU+conv triple is a single ``ops.gn_conv2d`` (the
+    fused binding normalizes inside the conv kernel's input read), the time
+    embedding folds into conv1's per-batch bias, and the shortcut add fuses
+    into conv2's epilogue via the residual arg.
     ``emb`` (optional): this resnet's time_emb_proj output precomputed for all
     steps at once (``precompute_time_cond``) — skips the per-step GEMM.
     """
-    h = ops.group_norm(
-        x, p[f"{key}.norm1.weight"], p[f"{key}.norm1.bias"],
-        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, act="silu",
-    )
-    h = ops.conv2d(h, p[f"{key}.conv1.weight"], p[f"{key}.conv1.bias"])
     if emb is None:
         emb = ops.linear(
             jax.nn.silu(temb), p[f"{key}.time_emb_proj.weight"], p[f"{key}.time_emb_proj.bias"]
         )
-    h = h + emb[:, None, None, :].astype(h.dtype)
-    h = ops.group_norm(
-        h, p[f"{key}.norm2.weight"], p[f"{key}.norm2.bias"],
-        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, act="silu",
+    # fold the post-conv1 time-embedding add into conv1's bias: a per-batch
+    # (B, Cout) bias the conv epilogue applies in-kernel — the standalone
+    # `+ emb` pass cannot fuse into a pallas conv (XLA treats pallas_call as
+    # opaque), so unfolded it costs a full HBM read+write of h
+    bias1 = (p[f"{key}.conv1.bias"].astype(jnp.float32)[None, :]
+             + emb.astype(jnp.float32))
+    h = ops.gn_conv2d(
+        x, p[f"{key}.norm1.weight"], p[f"{key}.norm1.bias"],
+        p[f"{key}.conv1.weight"], bias1,
+        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, gn_act="silu",
     )
     if f"{key}.conv_shortcut.weight" in p:
         skip = ops.conv2d(
@@ -367,7 +370,12 @@ def _resnet(p, key: str, x, temb, cfg: UNetConfig, emb=None):
         )
     else:
         skip = x
-    return ops.conv2d(h, p[f"{key}.conv2.weight"], p[f"{key}.conv2.bias"], residual=skip)
+    return ops.gn_conv2d(
+        h, p[f"{key}.norm2.weight"], p[f"{key}.norm2.bias"],
+        p[f"{key}.conv2.weight"], p[f"{key}.conv2.bias"],
+        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, gn_act="silu",
+        residual=skip,
+    )
 
 
 def _attention_layer(p, key: str, x, context, num_heads: int, cached_kv=None):
@@ -701,11 +709,11 @@ def unet_apply(
             h = _upsample(p, f"up_blocks.{i}.upsamplers.0", h)
 
     # --- out ---
-    h = ops.group_norm(
+    out = ops.gn_conv2d(
         h, p["conv_norm_out.weight"], p["conv_norm_out.bias"],
-        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, act="silu",
+        p["conv_out.weight"], p["conv_out.bias"],
+        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, gn_act="silu",
     )
-    out = ops.conv2d(h, p["conv_out.weight"], p["conv_out.bias"])
     return (out, cache) if return_cache else out
 
 
@@ -798,8 +806,8 @@ def unet_apply_shallow(
         if i < n - 1:
             h = _upsample(p, f"up_blocks.{i}.upsamplers.0", h)
 
-    h = ops.group_norm(
+    return ops.gn_conv2d(
         h, p["conv_norm_out.weight"], p["conv_norm_out.bias"],
-        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, act="silu",
+        p["conv_out.weight"], p["conv_out.bias"],
+        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps, gn_act="silu",
     )
-    return ops.conv2d(h, p["conv_out.weight"], p["conv_out.bias"])

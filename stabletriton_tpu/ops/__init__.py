@@ -27,6 +27,7 @@ geglu = partial(dispatch, "geglu")
 linear = partial(dispatch, "linear")
 time_embed = partial(dispatch, "time_embed")
 conv2d = partial(dispatch, "conv2d")
+gn_conv2d = partial(dispatch, "gn_conv2d")
 
 # Kernel registration is deferred: importing the pallas backends here would pull
 # jax.experimental.pallas at package import; they self-register on first import

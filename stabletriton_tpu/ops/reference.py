@@ -451,11 +451,43 @@ def conv2d(
         preferred_element_type=jnp.float32,
     )
     if b is not None:
-        out = out + b.astype(jnp.float32)
+        bb = b.astype(jnp.float32)
+        out = out + (bb[:, None, None, :] if bb.ndim == 2 else bb)
     if residual is not None:
         out = out + residual.astype(jnp.float32)
     out = apply_activation(out, act)
     return out.astype(x.dtype)
+
+
+@register("gn_conv2d", "reference")
+def gn_conv2d(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    gn_act: str | None = "silu",
+    stride: int = 1,
+    padding: int | tuple = 1,
+    residual: jax.Array | None = None,
+    act: str | None = None,
+):
+    """GroupNorm(+gn_act) followed by conv2d — the resnet hot pair as ONE op
+    so a backend can fuse the GN apply into the conv's input read (the
+    "fused" binding, kernels/conv_direct.py). This reference form composes
+    through the ACTIVE binding of each half, so binding gn_conv2d to
+    "reference" reproduces the unfused pipeline exactly (including bf16apply
+    GN / direct conv defaults). ``b`` may be (Cout,) or (B, Cout) — the
+    per-batch form folds the resnet time-embedding into conv1's bias."""
+    from stabletriton_tpu.ops.registry import dispatch
+
+    h = dispatch("group_norm", x, gamma, beta, num_groups=num_groups,
+                 eps=eps, act=gn_act)
+    return dispatch("conv2d", h, w, b, stride=stride, padding=padding,
+                    residual=residual, act=act)
 
 
 @register("conv2d", "int8")
@@ -494,7 +526,8 @@ def conv2d_int8(
     )
     out = acc.astype(jnp.float32) * (sx * scale.astype(jnp.float32))
     if b is not None:
-        out = out + b.astype(jnp.float32)
+        bb = b.astype(jnp.float32)
+        out = out + (bb[:, None, None, :] if bb.ndim == 2 else bb)
     if residual is not None:
         out = out + residual.astype(jnp.float32)
     out = apply_activation(out, act)

@@ -504,3 +504,102 @@ def test_conv3x3_direct_halo_modes(monkeypatch, halo):
                                      block_rows=3)
     ref = ops.conv2d(x, w, b, residual=res, act="silu")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("res,rows", [(False, None), (True, None), (True, 4)])
+def test_gn_conv2d_fused_parity(res, rows):
+    """GN-apply-fused direct conv (kernels/conv_direct.gn_conv2d_fused): the
+    kernel normalizes its input window in-register (f32 scale/shift + SiLU +
+    zero-mask of the SAME-padding border) before the nine MXU dots. Must
+    match the unfused reference compose. rows=4 with H=9 forces a bottom
+    row-pad tail, exercising the row mask past H."""
+    from stabletriton_tpu.kernels import conv_direct
+    from stabletriton_tpu.ops import reference
+
+    rng = np.random.default_rng(37)
+    x = jnp.asarray(rng.standard_normal((2, 9, 8, 32), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 16), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+    gamma = jnp.asarray(rng.standard_normal(32, dtype=np.float32))
+    beta = jnp.asarray(rng.standard_normal(32, dtype=np.float32))
+    residual = (jnp.asarray(rng.standard_normal((2, 9, 8, 16),
+                                                dtype=np.float32))
+                if res else None)
+    ref = reference.conv2d(
+        reference.group_norm(x, gamma, beta, num_groups=8, act="silu"),
+        w, b, stride=1, padding=1, residual=residual)
+    if rows is None:
+        out = conv_direct.gn_conv2d_fused(x, gamma, beta, w, b, num_groups=8,
+                                          residual=residual)
+    else:
+        scale, shift = conv_direct._gn_fold(x, gamma, beta, 8, 1e-5)
+        out = conv_direct.conv3x3_direct(x, w, b, residual=residual,
+                                         gn_scale=scale, gn_shift=shift,
+                                         gn_act="silu", block_rows=rows)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # the op surface dispatches the same way
+    with ops.use_backends({"gn_conv2d": "fused"}):
+        out2 = ops.gn_conv2d(x, gamma, beta, w, b, num_groups=8,
+                             residual=residual)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-4)
+
+
+def test_gn_conv2d_fused_split_parity(monkeypatch):
+    """Fused-GN scale/shift must slice with the op-level Cin split and ride
+    along the Cout split (kernels/conv_direct._direct_or_split)."""
+    from stabletriton_tpu.kernels import conv_direct
+    from stabletriton_tpu.ops import reference
+
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.standard_normal((1, 6, 8, 32), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 32), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(32, dtype=np.float32))
+    gamma = jnp.asarray(rng.standard_normal(32, dtype=np.float32))
+    beta = jnp.asarray(rng.standard_normal(32, dtype=np.float32))
+    residual = jnp.asarray(rng.standard_normal((1, 6, 8, 32), dtype=np.float32))
+    ref = reference.conv2d(
+        reference.group_norm(x, gamma, beta, num_groups=8, act="silu"),
+        w, b, stride=1, padding=1, residual=residual)
+    monkeypatch.setattr(conv_direct, "W_RESIDENT_MAX", 9 * 16 * 16 * 4)
+    out = conv_direct.gn_conv2d_fused(x, gamma, beta, w, b, num_groups=8,
+                                      residual=residual)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_gn_conv2d_fused_ineligible_falls_back():
+    """Non-3x3 / strided / quantized weights route through the unfused
+    dispatch pair (active group_norm + conv2d bindings) with identical
+    semantics."""
+    from stabletriton_tpu.kernels import conv_direct
+    from stabletriton_tpu.ops import reference
+
+    rng = np.random.default_rng(43)
+    x = jnp.asarray(rng.standard_normal((1, 6, 8, 16), dtype=np.float32))
+    gamma = jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+    beta = jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+    w1 = jnp.asarray(rng.standard_normal((1, 1, 16, 16), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+    ref = reference.conv2d(
+        reference.group_norm(x, gamma, beta, num_groups=4, act="silu"),
+        w1, b, stride=1, padding=0)
+    out = conv_direct.gn_conv2d_fused(x, gamma, beta, w1, b, num_groups=4,
+                                      padding=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_conv2d_per_batch_bias_parity():
+    """(B, Cout) bias — the resnet time-embedding folded into conv1's
+    epilogue — must agree between the reference conv and the direct kernel
+    (and differ across batch rows, proving it is applied per batch)."""
+    from stabletriton_tpu.kernels import conv_direct
+
+    rng = np.random.default_rng(47)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 16), dtype=np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((2, 16), dtype=np.float32))
+    ref = ops.conv2d(x, w, b2)
+    out = conv_direct.conv3x3_direct(x, w, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # per-batch: swapping the bias rows changes the outputs accordingly
+    ref_sw = ops.conv2d(x, w, b2[::-1])
+    assert not np.allclose(np.asarray(ref), np.asarray(ref_sw))

@@ -133,3 +133,34 @@ def test_sharded_unet_matches_unsharded(mesh8):
     args = [jax.device_put(x, bs) for x in (sample, t, ehs, te, ti)]
     got = jax.jit(lambda p, *a: unet_apply(cfg, p, *a))(sp, *args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4)
+
+
+def test_gn_conv2d_fused_sharded_matches_unsharded(mesh8):
+    """The fused-GN conv's shard_map path (kernels/conv_direct.gn_conv2d_fused)
+    with a per-batch (B, Cout) bias: GN scale/shift and the bias must shard
+    with the batch axis (a replicated spec would hand every shard row 0's
+    values — the bug test_sharded_pipeline caught for conv2d_direct)."""
+    from stabletriton_tpu import ops
+    from stabletriton_tpu.kernels import conv_direct  # register  # noqa: F401
+    from stabletriton_tpu.runtime import mesh as mm
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, 32), dtype=np.float32))
+    gamma = jnp.asarray(rng.standard_normal(32, dtype=np.float32))
+    beta = jnp.asarray(rng.standard_normal(32, dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 16), dtype=np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((4, 16), dtype=np.float32))
+    res = jnp.asarray(rng.standard_normal((4, 8, 8, 16), dtype=np.float32))
+
+    expected = conv_direct.gn_conv2d_fused(x, gamma, beta, w, b2,
+                                           num_groups=8, residual=res)
+    with mm.use_mesh(mesh8):
+        got = jax.jit(lambda *a: conv_direct.gn_conv2d_fused(
+            *a, num_groups=8, residual=res))(x, gamma, beta, w, b2)
+        # the plain conv's shard path with per-batch bias, too
+        with ops.use_backends({"conv2d": "direct"}):
+            got_conv = jax.jit(lambda *a: ops.conv2d(*a))(x, w, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_conv),
+                               np.asarray(ops.conv2d(x, w, b2)), atol=2e-4)
