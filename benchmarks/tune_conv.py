@@ -7,7 +7,9 @@ on each resnet's conv2, so both variants are tuned per shape. Usage:
 
     bash scripts/tpu_run.sh python -u benchmarks/tune_conv.py [probe]
 
-"probe" tunes only the three dominant square shapes (quick payoff check).
+"probe" tunes only the three dominant square shapes (quick payoff check);
+"gn" additionally tunes the GN-apply-fused variant (``:gn`` keys) for every
+shape — the resnet pair dispatches those when gn_conv2d binds to "fused".
 """
 
 import pathlib
@@ -41,7 +43,7 @@ TRANSITIONS = [
 ]
 
 
-def main(probe: bool):
+def main(probe: bool, gn: bool = False):
     from stabletriton_tpu.kernels import autotune
 
     shapes = SQUARE if probe else SQUARE + TRANSITIONS
@@ -51,24 +53,28 @@ def main(probe: bool):
             # same-shaped operand); UNet conv1s are non-residual but the
             # block_rows winner is residual-insensitive (same tiles + one
             # extra input stream), so the res=True entry stands in
-            try:
-                best = autotune.tune_conv(n, h, w, cin, cout,
-                                          has_res=has_res, act=None)
-            except Exception as e:  # noqa: BLE001
-                print(f"  tune_conv {n}x{h}x{w} {cin}->{cout} res={has_res} "
-                      f"FAILED: {e}", flush=True)
-                continue
-            print(f"{n}x{h}x{w} {cin}->{cout} res={has_res}: {best}",
-                  flush=True)
-            if cin != cout:
-                # the UNet dispatches non-square conv1s WITHOUT residual;
-                # mirror the winner under the res=False key it will look up
-                import jax.numpy as jnp
+            for gn_flag in ((False, True) if gn else (False,)):
+                try:
+                    best = autotune.tune_conv(n, h, w, cin, cout,
+                                              has_res=has_res, act=None,
+                                              gn=gn_flag)
+                except Exception as e:  # noqa: BLE001
+                    print(f"  tune_conv {n}x{h}x{w} {cin}->{cout} "
+                          f"res={has_res} gn={gn_flag} FAILED: {e}",
+                          flush=True)
+                    continue
+                print(f"{n}x{h}x{w} {cin}->{cout} res={has_res} "
+                      f"gn={gn_flag}: {best}", flush=True)
+                if cin != cout:
+                    # the UNet dispatches non-square conv1s WITHOUT residual;
+                    # mirror the winner under the res=False key it will look
+                    # up
+                    import jax.numpy as jnp
 
-                autotune.record(
-                    autotune.conv_key(n, h, w, cin, cout, jnp.bfloat16,
-                                      False, None), best)
+                    autotune.record(
+                        autotune.conv_key(n, h, w, cin, cout, jnp.bfloat16,
+                                          False, None, gn_flag), best)
 
 
 if __name__ == "__main__":
-    main(probe="probe" in sys.argv[1:])
+    main(probe="probe" in sys.argv[1:], gn="gn" in sys.argv[1:])

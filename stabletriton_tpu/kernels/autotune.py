@@ -318,11 +318,15 @@ def attention_shapes_for_unet(cfg, lat_h: int, lat_w: int, batch: int,
 
 
 def conv_key(n: int, h: int, w: int, cin: int, cout: int, dtype,
-             has_res: bool, act) -> str:
+             has_res: bool, act, gn: bool = False) -> str:
+    """``gn=True`` keys the GN-apply-fused variant separately (its in-kernel
+    f32 window temp shifts the block_rows optimum); the suffix is appended
+    only when set, so pre-existing non-gn table entries stay valid."""
     import jax.numpy as jnp
 
-    return (f"conv3x3:n{n}:h{h}:w{w}:ci{cin}:co{cout}:"
+    base = (f"conv3x3:n{n}:h{h}:w{w}:ci{cin}:co{cout}:"
             f"{jnp.dtype(dtype).name}:res{int(bool(has_res))}:{act or '-'}")
+    return base + ":gn" if gn else base
 
 
 def conv_block_rows_candidates(h: int) -> list[int | None]:
@@ -340,21 +344,25 @@ def conv_block_rows_candidates(h: int) -> list[int | None]:
 
 def tune_conv(n: int, h: int, w: int, cin: int, cout: int, dtype=None,
               has_res: bool = True, act: str | None = "silu",
-              persist: bool = True, verbose: bool = True) -> dict:
+              gn: bool = False, persist: bool = True,
+              verbose: bool = True) -> dict:
     """Measure block_rows candidates for one direct-conv shape
     (kernels/conv_direct.py) and record the winner. The measured callable is
     the whole conv3x3_direct (op-level splits included — block_rows
-    propagates to every leaf pallas_call)."""
+    propagates to every leaf pallas_call). ``gn=True`` tunes the
+    GN-apply-fused variant (element halo only) under its own ``:gn`` key;
+    the fixed stats pass is excluded — only the kernel depends on
+    block_rows."""
     import functools as _ft
 
     import jax.numpy as jnp
     import numpy as np
 
-    from stabletriton_tpu.kernels.conv_direct import conv3x3_direct
+    from stabletriton_tpu.kernels.conv_direct import _gn_fold, conv3x3_direct
     from stabletriton_tpu.runtime.profiling import bench_fn
 
     dtype = jnp.bfloat16 if dtype is None else dtype
-    key = conv_key(n, h, w, cin, cout, dtype, has_res, act)
+    key = conv_key(n, h, w, cin, cout, dtype, has_res, act, gn)
     rng = np.random.default_rng(0)
 
     def arr(*shape):
@@ -365,6 +373,12 @@ def tune_conv(n: int, h: int, w: int, cin: int, cout: int, dtype=None,
     wt = arr(3, 3, cin, cout)
     b = jnp.zeros((cout,), jnp.float32)
     res = arr(n, h, w, cout) if has_res else None
+    gn_kw = {}
+    if gn:
+        # the hot pair is GN+SiLU -> conv (epilogue act rides ``act``)
+        gs, gsh = _gn_fold(x, jnp.ones(cin, jnp.float32),
+                           jnp.zeros(cin, jnp.float32), 32, 1e-5)
+        gn_kw = {"gn_scale": gs, "gn_shift": gsh, "gn_act": "silu"}
     if cin != cout and not has_res:
         raise ValueError("tune_conv needs cin == cout or a residual operand "
                          "to chain the benchmark (runtime/profiling.bench_fn)")
@@ -373,8 +387,10 @@ def tune_conv(n: int, h: int, w: int, cin: int, cout: int, dtype=None,
     # escape hatch, ~3x input HBM) competes only at its VMEM-heuristic block
     # — the probe sweeps showed its ladder never beating its own heuristic
     # by more than noise while tripling the tuning wall-clock
-    for halo, brs in (("element", conv_block_rows_candidates(h)),
-                      ("views", [None])):
+    halo_plans = (("element", conv_block_rows_candidates(h)),)
+    if not gn:  # views cannot host the fused GN apply
+        halo_plans += (("views", [None]),)
+    for halo, brs in halo_plans:
         for br in brs:
             # chain the output back through a same-shaped operand so calls
             # serialize: x when the conv is square, the residual otherwise.
@@ -388,12 +404,12 @@ def tune_conv(n: int, h: int, w: int, cin: int, cout: int, dtype=None,
             if cin == cout:
                 f = _jax.jit(_ft.partial(lambda xx, _br, _ha: conv3x3_direct(
                     xx, wt, b, residual=res, act=act, block_rows=_br,
-                    halo=_ha), _br=br, _ha=halo))
+                    halo=_ha, **gn_kw), _br=br, _ha=halo))
                 chain_args = (x,)
             else:
                 f = _jax.jit(_ft.partial(lambda rr, _br, _ha: conv3x3_direct(
                     x, wt, b, residual=rr, act=act, block_rows=_br,
-                    halo=_ha), _br=br, _ha=halo))
+                    halo=_ha, **gn_kw), _br=br, _ha=halo))
                 chain_args = (res,)
             try:
                 t = bench_fn(f, *chain_args, chain_arg=0)

@@ -384,9 +384,13 @@ def conv3x3_direct(
     if block_rows is None and (halo is None or gn_scale is not None):
         from stabletriton_tpu.kernels import autotune
 
-        tuned = autotune.lookup(autotune.conv_key(
-            x.shape[0], x.shape[1], x.shape[2], w.shape[2], w.shape[3],
-            x.dtype, residual is not None, act))
+        keyargs = (x.shape[0], x.shape[1], x.shape[2], w.shape[2], w.shape[3],
+                   x.dtype, residual is not None, act)
+        tuned = None
+        if gn_scale is not None:  # fused variant tunes under its own key
+            tuned = autotune.lookup(autotune.conv_key(*keyargs, gn=True))
+        if tuned is None:
+            tuned = autotune.lookup(autotune.conv_key(*keyargs))
         if tuned is not None:
             if "block_rows" in tuned:
                 block_rows = int(tuned["block_rows"])
