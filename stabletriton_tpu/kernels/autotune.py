@@ -342,6 +342,79 @@ def conv_block_rows_candidates(h: int) -> list[int | None]:
     return cands
 
 
+def conv_shapes_for_unet(cfg, lat_h: int, lat_w: int, batch: int,
+                         cfg_factor: int = 2,
+                         ) -> list[tuple[int, int, int, int, int, bool, object]]:
+    """Every 3x3 stride-1 SAME conv shape the UNet dispatches at this
+    signature, as (n, h, w, cin, cout, has_res, act) tuples — recorded by
+    tracing ``unet_apply`` abstractly (jax.eval_shape costs no FLOPs and no
+    real params) under a shape-probe conv binding, so transition convs,
+    skip-concat up-block inputs, conv_in/out and upsamplers can never be
+    missed by hand-walked topology math. ``cfg_factor=2`` is the classic
+    CFG-doubled batch; 1 covers no-CFG / guidance-interval cond-only rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from stabletriton_tpu import ops
+    from stabletriton_tpu.models import unet as unet_mod
+    from stabletriton_tpu.ops import reference
+    from stabletriton_tpu.ops.registry import _REGISTRY
+
+    shapes: set = set()
+
+    def probe(x, w, b=None, *, stride=1, padding=1, residual=None, act=None):
+        if (not isinstance(w, tuple) and getattr(w, "ndim", 0) == 4
+                and w.shape[:2] == (3, 3) and stride == 1 and padding == 1):
+            shapes.add((int(x.shape[0]), int(x.shape[1]), int(x.shape[2]),
+                        int(w.shape[2]), int(w.shape[3]),
+                        residual is not None, act))
+        return reference.conv2d(x, w, b, stride=stride, padding=padding,
+                                residual=residual, act=act)
+
+    _REGISTRY.setdefault("conv2d", {})["_shape_probe"] = probe
+    try:
+        b = cfg_factor * batch
+        params = jax.eval_shape(
+            lambda: unet_mod.init_unet_params(cfg, 0, dtype=jnp.bfloat16))
+        S = jax.ShapeDtypeStruct
+
+        def run(p, sample, t, ctx, te, ti):
+            # gn_conv2d composes through the conv2d binding, so the probe
+            # sees the resnet pairs' convs exactly as dispatched
+            with ops.use_backends({"conv2d": "_shape_probe",
+                                   "gn_conv2d": "reference"}):
+                return unet_mod.unet_apply(cfg, p, sample, t, ctx, te, ti)
+
+        jax.eval_shape(
+            run, params,
+            S((b, lat_h, lat_w, cfg.in_channels), jnp.bfloat16),
+            S((b,), jnp.float32),
+            S((b, 77, cfg.cross_attention_dim), jnp.bfloat16),
+            S((b, 1280), jnp.bfloat16),
+            S((b, 6), jnp.float32),
+        )
+    finally:
+        _REGISTRY["conv2d"].pop("_shape_probe", None)
+    return sorted(shapes, key=lambda s: (s[:5], s[5], str(s[6])))
+
+
+def ensure_conv_tuned(cfg, lat_h: int, lat_w: int, batch: int, dtype=None,
+                      cfg_factors: tuple[int, ...] = (2,)) -> None:
+    """Tune any direct-conv shape of this signature with no table entry —
+    the conv twin of ``ensure_attention_tuned``, called from the pipeline's
+    measure-before-trace hook (runtime/pipeline._build)."""
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if dtype is None else dtype
+    shapes = sorted({
+        s for f in cfg_factors
+        for s in conv_shapes_for_unet(cfg, lat_h, lat_w, batch, cfg_factor=f)
+    })
+    for n, h, w, cin, cout, has_res, act in shapes:
+        if lookup(conv_key(n, h, w, cin, cout, dtype, has_res, act)) is None:
+            tune_conv(n, h, w, cin, cout, dtype, has_res=has_res, act=act)
+
+
 def tune_conv(n: int, h: int, w: int, cin: int, cout: int, dtype=None,
               has_res: bool = True, act: str | None = "silu",
               gn: bool = False, persist: bool = True,
@@ -379,9 +452,6 @@ def tune_conv(n: int, h: int, w: int, cin: int, cout: int, dtype=None,
         gs, gsh = _gn_fold(x, jnp.ones(cin, jnp.float32),
                            jnp.zeros(cin, jnp.float32), 32, 1e-5)
         gn_kw = {"gn_scale": gs, "gn_shift": gsh, "gn_act": "silu"}
-    if cin != cout and not has_res:
-        raise ValueError("tune_conv needs cin == cout or a residual operand "
-                         "to chain the benchmark (runtime/profiling.bench_fn)")
     best = None
     # element gets the full block_rows ladder; views (the 3-shifted-copies
     # escape hatch, ~3x input HBM) competes only at its VMEM-heuristic block
@@ -390,27 +460,40 @@ def tune_conv(n: int, h: int, w: int, cin: int, cout: int, dtype=None,
     halo_plans = (("element", conv_block_rows_candidates(h)),)
     if not gn:  # views cannot host the fused GN apply
         halo_plans += (("views", [None]),)
+    import jax as _jax
+
+    def _chained(core):
+        """Make the measured callable shape-preserving so bench_fn can chain
+        its output back into arg 0 (x when square, the residual when the
+        shapes allow, else a channel slice/tile adapter whose constant cost
+        is identical across candidates — the ranking is untouched)."""
+        if cin == cout:
+            return _jax.jit(lambda xx: core(xx, res)), (x,)
+        if has_res:
+            return _jax.jit(lambda rr: core(x, rr)), (res,)
+
+        def adapted(xx):
+            o = core(xx, None)
+            if cout >= cin:
+                return o[..., :cin]
+            reps = -(-cin // cout)
+            return jnp.tile(o, (1, 1, 1, reps))[..., :cin]
+
+        return _jax.jit(adapted), (x,)
+
     for halo, brs in halo_plans:
         for br in brs:
-            # chain the output back through a same-shaped operand so calls
-            # serialize: x when the conv is square, the residual otherwise.
             # jit the candidate: the op-split plans (32x32x1280 etc.) are a
             # Python composition of several pallas_calls + slices whose
             # per-call EAGER dispatch over the tunnel dwarfs the kernel
             # (measured 6-12 ms vs the jitted 0.4 ms) and scales with chain
             # length, so the slope does NOT cancel it
-            import jax as _jax
-
-            if cin == cout:
-                f = _jax.jit(_ft.partial(lambda xx, _br, _ha: conv3x3_direct(
-                    xx, wt, b, residual=res, act=act, block_rows=_br,
-                    halo=_ha, **gn_kw), _br=br, _ha=halo))
-                chain_args = (x,)
-            else:
-                f = _jax.jit(_ft.partial(lambda rr, _br, _ha: conv3x3_direct(
-                    x, wt, b, residual=rr, act=act, block_rows=_br,
-                    halo=_ha, **gn_kw), _br=br, _ha=halo))
-                chain_args = (res,)
+            core = _ft.partial(
+                lambda xx, rr, _br, _ha: conv3x3_direct(
+                    xx, wt, b, residual=rr, act=act, block_rows=_br,
+                    halo=_ha, **gn_kw),
+                _br=br, _ha=halo)
+            f, chain_args = _chained(core)
             try:
                 t = bench_fn(f, *chain_args, chain_arg=0)
             except Exception:  # config doesn't compile/fit — skip
@@ -422,6 +505,33 @@ def tune_conv(n: int, h: int, w: int, cin: int, cout: int, dtype=None,
                 best = {"t_us": round(t * 1e6, 2), "halo": halo}
                 if br is not None:
                     best["block_rows"] = br
+
+    # the XLA conv competes as one candidate: shapes the direct kernel cannot
+    # win (cin=4 conv_in, N1 cond-only rows, wide VAE maps) record
+    # {"impl": "xla"} and conv3x3_direct routes them back to the XLA path.
+    # For gn=True the comparable program includes the GN apply the fused
+    # kernel absorbs (the unfused pair's real cost).
+    from stabletriton_tpu.ops import reference as _ref
+
+    def xla_core(xx, rr):
+        if gn:
+            gs, gsh = gn_kw["gn_scale"], gn_kw["gn_shift"]
+            xn = xx.astype(jnp.float32) * gs[:, None, None, :] \
+                + gsh[:, None, None, :]
+            xn = (xn * _jax.nn.sigmoid(xn)).astype(xx.dtype)  # silu
+            xx = xn
+        return _ref.conv2d(xx, wt, b, stride=1, padding=1,
+                           residual=rr, act=act)
+
+    f, chain_args = _chained(xla_core)
+    try:
+        t = bench_fn(f, *chain_args, chain_arg=0)
+        if verbose:
+            print(f"  [autotune] {key} xla: {t*1e6:.1f}us", flush=True)
+        if best is None or t < best["t_us"] * 1e-6:
+            best = {"impl": "xla", "t_us": round(t * 1e6, 2)}
+    except Exception:
+        pass
     if best is None:
         raise RuntimeError(f"no conv config compiled for {key}")
     record(key, best, persist=persist)

@@ -64,7 +64,7 @@ def _conv3x3_kernel_elem(x_ref, w_ref, b_ref, res_ref, gs_ref, gsh_ref,
     — an `pl.Element` row window starting at j*block_rows, so the ky halo
     needs no shifted input copies; ky and kx both slice in-register.
 
-    ``gs_ref``/``gsh_ref`` (optional, (1, Cin) f32): per-(batch, channel)
+    ``gs_ref``/``gsh_ref`` (optional, (1, 1, Cin) f32): per-(batch, channel)
     GroupNorm scale/shift applied to the input window in-register (norm +
     ``gn_act`` + zero-mask of the SAME-padding border — raw x is padded with
     zeros, and normalize(0) != 0) — fusing the GN apply pass into the conv's
@@ -73,7 +73,7 @@ def _conv3x3_kernel_elem(x_ref, w_ref, b_ref, res_ref, gs_ref, gsh_ref,
     cout = w_ref.shape[3]
     if gs_ref is not None:
         j = pl.program_id(1)
-        xw = x_ref[0].astype(jnp.float32) * gs_ref[0] + gsh_ref[0]
+        xw = x_ref[0].astype(jnp.float32) * gs_ref[0, 0] + gsh_ref[0, 0]
         xw = _ACTS[gn_act](xw)
         rows = jax.lax.broadcasted_iota(
             jnp.int32, (block_rows + 2, width + 2), 0) + j * block_rows
@@ -147,17 +147,27 @@ def _halo_mode() -> str:
 def _vmem_model(block_rows, wd, cin, cout, itemsize, out_itemsize, has_res,
                 halo=None, gn=False):
     """Estimated VMEM bytes for one program (x window(s) double-buffered; the
-    constant-index weight is resident once; f32 accumulator on the stack)."""
+    constant-index weight is resident once; f32 accumulator on the stack).
+
+    Every buffer is modelled at its PADDED footprint: Mosaic tiles the last
+    two dims to (sublane 8, lane 128), so a cout=4 conv_out pads its lane
+    dim 32x and cin/cout=320 pads to 384. The unpadded model undercounted
+    exactly that — conv_out (320->4, 128^2) sized a 25.7MB block against the
+    16MB scoped limit and crashed the headline bench (round-5 verify)."""
+    ci = round_up(cin, 128)
+    co = round_up(cout, 128)
+    wp = round_up(wd, 8)
+    whp = round_up(wd + 2, 8)
     if (halo or _halo_mode()) == "element":
-        x_in = (block_rows + 2) * (wd + 2) * cin * itemsize * 2  # dbl-buffered
+        x_in = (block_rows + 2) * whp * ci * itemsize * 2      # dbl-buffered
     else:
-        x_in = 3 * block_rows * (wd + 2) * cin * itemsize * 2
-    w = 9 * cin * cout * itemsize                              # resident
-    acc = block_rows * wd * cout * 4
-    out = block_rows * wd * cout * out_itemsize * 2
-    res = block_rows * wd * cout * out_itemsize * 2 if has_res else 0
+        x_in = 3 * block_rows * whp * ci * itemsize * 2
+    w = 9 * round_up(cin, 8) * co * itemsize                   # resident
+    acc = block_rows * wp * co * 4
+    out = block_rows * wp * co * out_itemsize * 2
+    res = block_rows * wp * co * out_itemsize * 2 if has_res else 0
     # fused GN apply materializes an f32 normalized window on the stack
-    gn_tmp = (block_rows + 2) * (wd + 2) * cin * 4 if gn else 0
+    gn_tmp = (block_rows + 2) * whp * ci * 4 if gn else 0
     return x_in + w + acc + out + res + gn_tmp
 
 
@@ -240,10 +250,17 @@ def _conv3x3_call(
         args = views + [w]
     if b is not None:
         if b.ndim == 2:  # (B, Cout) per-batch bias
-            in_specs.append(pl.BlockSpec((1, cout), lambda i, j: (i, 0)))
+            # Mosaic tiling rule: a Blocked spec's last two dims must be
+            # (8, 128)-divisible or EQUAL to the array dims — (1, cout) vs
+            # array (B, cout) is illegal at B>1. Carry the bias as
+            # (B, 1, Cout) so the (1, 1, Cout) block's last two dims equal
+            # the array's (the round-4 rc=1 lowering break, VERDICT r4 #1).
+            in_specs.append(
+                pl.BlockSpec((1, 1, cout), lambda i, j: (i, 0, 0)))
+            args.append(b[:, None, :])
         else:
             in_specs.append(pl.BlockSpec((cout,), lambda i, j: (0,)))
-        args.append(b)
+            args.append(b)
     if has_res:
         in_specs.append(
             pl.BlockSpec((1, block_rows, wd, cout), lambda i, j: (i, j, 0, 0))
@@ -252,9 +269,11 @@ def _conv3x3_call(
                  if rows_p != h else residual)
         args.append(res_p)
     if has_gn:
+        # same (B, 1, Cin)/(1, 1, Cin) carry as the per-batch bias above
         for arr in (gn_scale, gn_shift):
-            in_specs.append(pl.BlockSpec((1, cin), lambda i, j: (i, 0)))
-            args.append(arr.astype(jnp.float32))
+            in_specs.append(
+                pl.BlockSpec((1, 1, cin), lambda i, j: (i, 0, 0)))
+            args.append(arr.astype(jnp.float32)[:, None, :])
 
     if elem:
         has_b = b is not None
@@ -387,15 +406,38 @@ def conv3x3_direct(
         keyargs = (x.shape[0], x.shape[1], x.shape[2], w.shape[2], w.shape[3],
                    x.dtype, residual is not None, act)
         tuned = None
+        gn_tuned = False
         if gn_scale is not None:  # fused variant tunes under its own key
             tuned = autotune.lookup(autotune.conv_key(*keyargs, gn=True))
+            gn_tuned = tuned is not None
         if tuned is None:
             tuned = autotune.lookup(autotune.conv_key(*keyargs))
         if tuned is not None:
+            if tuned.get("impl") == "xla":
+                # per-shape measured loss for the direct kernel (cin=4
+                # conv_in rows, N1 cond-only batches, wide VAE maps): route
+                # straight back to the XLA conv. With gn the caller owns the
+                # unfused fallback (gn_conv2d_fused), so signal None.
+                if gn_scale is not None:
+                    return None
+                from stabletriton_tpu.ops import reference
+
+                return reference.conv2d(x, w, b, stride=1, padding=1,
+                                        residual=residual, act=act)
             if "block_rows" in tuned:
                 block_rows = int(tuned["block_rows"])
             if "halo" in tuned and halo is None:
                 halo = str(tuned["halo"])
+            if gn_scale is not None and not gn_tuned and block_rows:
+                # a non-GN winner bypasses _conv3x3_call's VMEM sizing loop
+                # (it only runs when block_rows is None), but the fused-GN
+                # kernel adds an f32 window temp — re-validate under the GN
+                # model and drop to the heuristic when over budget
+                if _vmem_model(block_rows, x.shape[2], w.shape[2],
+                               w.shape[3], x.dtype.itemsize,
+                               x.dtype.itemsize, residual is not None,
+                               "element", True) > VMEM_BUDGET:
+                    block_rows = None
     if gn_scale is not None:
         halo = "element"  # the only halo the fused-GN kernel supports
     out = _direct_or_split(x, w, b, residual, act, None, block_rows, halo,

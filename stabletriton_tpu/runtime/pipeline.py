@@ -313,6 +313,10 @@ class SDXLPipeline:
                 autotune.ensure_attention_tuned(ucfg, lat_h, lat_w, batch,
                                                 dtype=dtype,
                                                 cfg_factors=factors)
+                if binding.get("conv2d") == "direct":
+                    autotune.ensure_conv_tuned(ucfg, lat_h, lat_w, batch,
+                                               dtype=dtype,
+                                               cfg_factors=factors)
 
         unet_step, kv_pre, time_pre = self._unet_step_fns()
 

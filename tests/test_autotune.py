@@ -111,3 +111,53 @@ def test_tiny_unet_shapes_enumerate():
     assert shapes  # enumerates without error on the tiny config
     for b, sq, sk, h, d in shapes:
         assert b == 4 and sq >= 1 and h >= 1 and d >= 1
+
+
+def test_conv_shapes_for_sdxl_cover_transitions():
+    """The shape-probe enumeration must see the transition / skip-concat /
+    conv_in/out shapes the hand-tuned round-4 table missed (VERDICT r4 #5)."""
+    cfg = sdxl_base_unet_config()
+    shapes = autotune.conv_shapes_for_unet(cfg, 128, 128, 1, cfg_factor=2)
+    got = {s[:5] for s in shapes}
+    assert (2, 128, 128, 4, 320) in got        # conv_in
+    assert (2, 128, 128, 320, 4) in got        # conv_out
+    assert (2, 64, 64, 320, 640) in got        # down transition
+    assert (2, 64, 64, 960, 640) in got        # up skip-concat
+    assert (2, 32, 32, 2560, 1280) in got      # widest up concat
+    assert (2, 64, 64, 1280, 1280) in got      # upsampler
+    # square resnet shapes (the round-4 table) are still in the set
+    assert (2, 128, 128, 320, 320) in got
+    # cond-only branch halves the batch
+    n1 = {s[:5] for s in autotune.conv_shapes_for_unet(cfg, 128, 128, 1,
+                                                       cfg_factor=1)}
+    assert (1, 128, 128, 320, 320) in n1
+
+
+def test_conv_direct_honors_impl_xla(tmp_path, monkeypatch):
+    """A tuned {'impl': 'xla'} entry must route the shape back to the XLA
+    conv (same numerics — the direct kernel and the reference op agree)."""
+    import jax.numpy as jnp
+
+    from stabletriton_tpu.kernels.conv_direct import conv3x3_direct
+
+    monkeypatch.setenv("ST_TPU_AUTOTUNE_CACHE", str(tmp_path / "t.json"))
+    autotune._TABLES.clear()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16), np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 16), np.float32)) * 0.1
+    b = jnp.asarray(rng.standard_normal((16,), np.float32))
+    want = np.asarray(conv3x3_direct(x, w, b, act="silu"))
+
+    key = autotune.conv_key(2, 8, 8, 16, 16, x.dtype, False, "silu")
+    autotune.record(key, {"impl": "xla", "t_us": 1.0})
+    conv3x3_direct_got = np.asarray(conv3x3_direct(x, w, b, act="silu"))
+    np.testing.assert_allclose(conv3x3_direct_got, want, atol=2e-5)
+    autotune._TABLES.clear()
+
+
+def test_tune_conv_chains_channel_changing_shapes():
+    """tune_conv must handle cin != cout with no residual (transition convs)
+    via the slice/tile chain adapter instead of raising."""
+    best = autotune.tune_conv(1, 8, 8, 16, 8, has_res=False, act=None,
+                              persist=False, verbose=False)
+    assert "t_us" in best
