@@ -343,7 +343,7 @@ def conv_block_rows_candidates(h: int) -> list[int | None]:
 
 
 def conv_shapes_for_unet(cfg, lat_h: int, lat_w: int, batch: int,
-                         cfg_factor: int = 2,
+                         cfg_factor: int = 2, gn_pairs: bool = False,
                          ) -> list[tuple[int, int, int, int, int, bool, object]]:
     """Every 3x3 stride-1 SAME conv shape the UNet dispatches at this
     signature, as (n, h, w, cin, cout, has_res, act) tuples — recorded by
@@ -351,7 +351,9 @@ def conv_shapes_for_unet(cfg, lat_h: int, lat_w: int, batch: int,
     real params) under a shape-probe conv binding, so transition convs,
     skip-concat up-block inputs, conv_in/out and upsamplers can never be
     missed by hand-walked topology math. ``cfg_factor=2`` is the classic
-    CFG-doubled batch; 1 covers no-CFG / guidance-interval cond-only rows."""
+    CFG-doubled batch; 1 covers no-CFG / guidance-interval cond-only rows.
+    ``gn_pairs=True`` records only the convs dispatched through the
+    ``gn_conv2d`` pair op (the shapes the fused-GN ``:gn`` table keys need)."""
     import jax
     import jax.numpy as jnp
 
@@ -371,7 +373,24 @@ def conv_shapes_for_unet(cfg, lat_h: int, lat_w: int, batch: int,
         return reference.conv2d(x, w, b, stride=stride, padding=padding,
                                 residual=residual, act=act)
 
-    _REGISTRY.setdefault("conv2d", {})["_shape_probe"] = probe
+    def gn_probe(x, gamma, beta, w, b=None, *, num_groups=32, eps=1e-5,
+                 gn_act="silu", stride=1, padding=1, residual=None, act=None):
+        probe(x, w, b, stride=stride, padding=padding, residual=residual,
+              act=act)
+        return reference.gn_conv2d(x, gamma, beta, w, b,
+                                   num_groups=num_groups, eps=eps,
+                                   gn_act=gn_act, stride=stride,
+                                   padding=padding, residual=residual,
+                                   act=act)
+
+    if gn_pairs:
+        _REGISTRY.setdefault("gn_conv2d", {})["_shape_probe"] = gn_probe
+        binding = {"conv2d": "reference", "gn_conv2d": "_shape_probe"}
+    else:
+        _REGISTRY.setdefault("conv2d", {})["_shape_probe"] = probe
+        # gn_conv2d composes through the conv2d binding, so the probe
+        # sees the resnet pairs' convs exactly as dispatched
+        binding = {"conv2d": "_shape_probe", "gn_conv2d": "reference"}
     try:
         b = cfg_factor * batch
         params = jax.eval_shape(
@@ -379,10 +398,7 @@ def conv_shapes_for_unet(cfg, lat_h: int, lat_w: int, batch: int,
         S = jax.ShapeDtypeStruct
 
         def run(p, sample, t, ctx, te, ti):
-            # gn_conv2d composes through the conv2d binding, so the probe
-            # sees the resnet pairs' convs exactly as dispatched
-            with ops.use_backends({"conv2d": "_shape_probe",
-                                   "gn_conv2d": "reference"}):
+            with ops.use_backends(binding):
                 return unet_mod.unet_apply(cfg, p, sample, t, ctx, te, ti)
 
         jax.eval_shape(
@@ -394,7 +410,8 @@ def conv_shapes_for_unet(cfg, lat_h: int, lat_w: int, batch: int,
             S((b, 6), jnp.float32),
         )
     finally:
-        _REGISTRY["conv2d"].pop("_shape_probe", None)
+        _REGISTRY["gn_conv2d" if gn_pairs else "conv2d"].pop(
+            "_shape_probe", None)
     return sorted(shapes, key=lambda s: (s[:5], s[5], str(s[6])))
 
 
