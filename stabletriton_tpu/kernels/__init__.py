@@ -12,10 +12,13 @@ redesigned for TPU:
                     reference's)
   linear          — fused matmul+bias+activation GEMM (opt-in; XLA's dot wins
                     by default, mirroring the reference's disabled linear pass)
-  conv_direct     — experimental direct 3x3 conv, nine shifted MXU GEMMs with
-                    the bias+residual+act epilogue in-kernel (opt-in; the
-                    SURVEY §7 stretch-goal experiment — the shipped default
-                    is XLA's conv, measured at ~155 TF/s)
+  conv_direct     — direct 3x3 conv, nine shifted MXU GEMMs with the
+                    bias+residual+act epilogue in-kernel (DEFAULT since
+                    round 4: measured 1.10-1.26x per shape over XLA's
+                    ~155 TF/s conv, +7.6% step-level; per-shape tuned-table
+                    entries can route a losing shape back to XLA via
+                    {"impl": "xla"}); also hosts the opt-in fused-GN
+                    variant (gn_conv2d="fused")
 """
 
 from stabletriton_tpu.kernels import (  # noqa: F401
