@@ -9,12 +9,15 @@ resumable; promote with ``python scripts/merge_tuned.py``.
 
 Usage:
     bash scripts/tpu_run.sh python -u benchmarks/tune_conv.py \
-        [gn] [force] [batch=1[,4]] [lat=128] [factors=2[,1]]
+        [gn] [force] [quick] [batch=1[,4]] [lat=128] [factors=2[,1]] [n=2]
 
 ``gn`` tunes the GN-apply-fused variant (``:gn`` keys) over the gn_conv2d
 pair shapes instead of the plain conv shapes. ``force`` re-tunes shapes that
 already have an entry. ``factors=2,1`` covers the CFG-doubled batch and the
-cond-only (no-CFG / guidance-interval) branch.
+cond-only (no-CFG / guidance-interval) branch. ``n=2`` restricts to shapes
+with that leading batch dim (e.g. the CFG-doubled headline rows). ``quick``
+(gn only) seeds the block_rows ladder from the plain winner instead of the
+full power-of-two sweep — about half the compiles per shape.
 """
 
 import pathlib
@@ -31,10 +34,12 @@ def main(argv: list[str]) -> None:
 
     gn = "gn" in argv
     force = "force" in argv
+    quick = "quick" in argv
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
     batches = [int(b) for b in kv.get("batch", "1").split(",")]
     lat = int(kv.get("lat", "128"))
     factors = [int(f) for f in kv.get("factors", "2,1").split(",")]
+    only_n = {int(x) for x in kv["n"].split(",")} if "n" in kv else None
 
     cfg = sdxl_base_unet_config()
     shapes = sorted({
@@ -49,14 +54,32 @@ def main(argv: list[str]) -> None:
 
     done = skipped = failed = 0
     for n, h, w, cin, cout, has_res, act in shapes:
+        if only_n is not None and n not in only_n:
+            skipped += 1
+            continue
         key = autotune.conv_key(n, h, w, cin, cout, jnp.bfloat16, has_res,
                                 act, gn=gn)
         if not force and autotune.lookup(key) is not None:
             skipped += 1
             continue
+        brs = None
+        if quick and gn:
+            # seed the gn ladder from the plain winner: the fused variant
+            # shifts the optimum by at most one step (its f32 window temp
+            # shrinks the fitting block), so {heuristic, winner, winner/2,
+            # winner*2} covers it at half the compiles of the full ladder
+            plain = autotune.lookup(autotune.conv_key(
+                n, h, w, cin, cout, jnp.bfloat16, has_res, act))
+            if plain and plain.get("halo") == "element":
+                pb = plain.get("block_rows")
+                brs = [None]
+                if pb:
+                    brs += [max(1, pb // 2), pb, min(h, pb * 2)]
+                brs = list(dict.fromkeys(brs))
         try:
             best = autotune.tune_conv(n, h, w, cin, cout, has_res=has_res,
-                                      act=act, gn=gn)
+                                      act=act, gn=gn,
+                                      block_rows_candidates=brs)
         except Exception as e:  # noqa: BLE001 — keep sweeping on a bad shape
             print(f"  FAILED {key}: {e}", flush=True)
             failed += 1

@@ -138,6 +138,25 @@ def attention_candidates(sq: int, sk: int, h: int, d: int,
                   if not (sk <= fa.LANES and bk != sk_cap))
 
 
+def attention_spans(sk: int, block_k: int, h: int, d: int) -> list[int]:
+    """Span values worth measuring for a packed single-KV shape (1 = the
+    classic one-head-group block). Spans widen blocks to span x 128 lanes so
+    one program runs span x pack sub-head chains — the amortization lever for
+    latency-bound small-grid shapes (S=1024: 40 cells of 152us vs ~30us
+    floor). Only the single-KV kernels qualify (the online path's scratch
+    and rescale state scale with span and measured nothing but VMEM
+    pressure); candidates are the divisors of the head-group count, thinned
+    to {2, groups//2, groups}."""
+    from stabletriton_tpu.kernels import flash_attention as fa
+
+    pack = fa.pack_factor(h, d)
+    if pack <= 1 or block_k < fa.round_up(sk, fa.LANES):
+        return [1]
+    groups = h // pack
+    cands = {1, 2, groups // 2, groups}
+    return sorted(s for s in cands if s >= 1 and groups % s == 0)
+
+
 def attention_variants(sq: int, sk: int, h: int, d: int) -> list[str | None]:
     """Kernel families worth measuring for a shape: the static default
     ('allheads' for tiny KV, 'bh' otherwise) plus head-packed when whole
@@ -177,24 +196,29 @@ def tune_attention(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
     for variant in attention_variants(sq, sk, h, d):
         for bq, bk in attention_candidates(sq, sk, h, d,
                                            jnp.dtype(dtype).itemsize):
-            try:
-                # jit: the kernel wrapper's Python-level reshapes would
-                # otherwise dispatch eagerly per call (see tune_conv note)
-                f = jax.jit(functools.partial(
-                    flash_attention, num_heads=h, block_q=bq, block_k=bk,
-                    variant=variant,
-                ))
-                t = bench_fn(f, q, k, v, chain_arg=0)
-            except Exception:  # config doesn't compile/fit — skip
-                continue
-            if verbose:
-                print(f"  [autotune] {key} {variant or '-'} bq={bq} bk={bk}: "
-                      f"{t*1e6:.1f}us", flush=True)
-            if best is None or t < best["t_us"] * 1e-6:
-                best = {"block_q": bq, "block_k": bk,
-                        "t_us": round(t * 1e6, 2)}
-                if variant is not None:
-                    best["variant"] = variant
+            spans = (attention_spans(sk, bk, h, d)
+                     if variant == "packed" else [1])
+            for span in spans:
+                try:
+                    # jit: the kernel wrapper's Python-level reshapes would
+                    # otherwise dispatch eagerly per call (see tune_conv note)
+                    f = jax.jit(functools.partial(
+                        flash_attention, num_heads=h, block_q=bq, block_k=bk,
+                        variant=variant, span=span,
+                    ))
+                    t = bench_fn(f, q, k, v, chain_arg=0)
+                except Exception:  # config doesn't compile/fit — skip
+                    continue
+                if verbose:
+                    print(f"  [autotune] {key} {variant or '-'} bq={bq} "
+                          f"bk={bk} span={span}: {t*1e6:.1f}us", flush=True)
+                if best is None or t < best["t_us"] * 1e-6:
+                    best = {"block_q": bq, "block_k": bk,
+                            "t_us": round(t * 1e6, 2)}
+                    if variant is not None:
+                        best["variant"] = variant
+                    if span > 1:
+                        best["span"] = span
     if best is None:
         raise RuntimeError(f"no attention config compiled for {key}")
     record(key, best, persist=persist)
@@ -202,13 +226,18 @@ def tune_attention(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
 
 
 def tune_attention_fused(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
-                         persist: bool = True, verbose: bool = True) -> dict:
+                         persist: bool = True, verbose: bool = True,
+                         candidates: list | None = None,
+                         include_split: bool = True) -> dict:
     """Tune one fused-operand attention shape: the head-packed fused-direct
     kernel across block configs vs the split fallback (slice +
     flash_attention, which itself uses the attention: table). Records the
     winner under fused_attention_key. Measures EXACTLY what the UNet
     dispatches — the split-interface table can't see the slice-copy and
-    concat glue that differs between the two."""
+    concat glue that differs between the two. ``candidates`` overrides the
+    full (block_q, block_k, span) enumeration with an explicit list (targeted
+    re-tunes: seed with the current winner so the entry can only improve);
+    ``include_split=False`` skips the split-fallback baseline compile."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -251,20 +280,27 @@ def tune_attention_fused(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
 
     best = None
     if fa.pack_factor(h, d) > 1:
-        for bq, bk in attention_candidates(sq, sk, h, d,
-                                           jnp.dtype(dtype).itemsize):
+        cand_iter = (candidates if candidates is not None else
+                     [(bq, bk, span)
+                      for bq, bk in attention_candidates(
+                          sq, sk, h, d, jnp.dtype(dtype).itemsize)
+                      for span in attention_spans(sk, bk, h, d)])
+        for bq, bk, span in cand_iter:
             try:
                 f = wrap(functools.partial(entry, num_heads=h,
-                                           block_q=bq, block_k=bk))
+                                           block_q=bq, block_k=bk,
+                                           span=span))
                 t = bench_fn(f, *ops_args, chain_arg=0)
             except Exception:
                 continue
             if verbose:
-                print(f"  [autotune] {key} fused bq={bq} bk={bk}: "
-                      f"{t*1e6:.1f}us", flush=True)
+                print(f"  [autotune] {key} fused bq={bq} bk={bk} "
+                      f"span={span}: {t*1e6:.1f}us", flush=True)
             if best is None or t < best["t_us"] * 1e-6:
                 best = {"impl": "fused", "block_q": bq, "block_k": bk,
                         "t_us": round(t * 1e6, 2)}
+                if span > 1:
+                    best["span"] = span
 
     # the split fallback competes as one candidate (blocks/variant come from
     # the attention: table inside flash_attention)
@@ -276,11 +312,12 @@ def tune_attention_fused(b: int, sq: int, sk: int, h: int, d: int, dtype=None,
             k, v = jnp.split(a[1], 2, axis=-1)
         return fa.flash_attention(q, k, v, num_heads=h)
 
-    t = bench_fn(wrap(split_call), *ops_args, chain_arg=0)
-    if verbose:
-        print(f"  [autotune] {key} split: {t*1e6:.1f}us", flush=True)
-    if best is None or t < best["t_us"] * 1e-6:
-        best = {"impl": "split", "t_us": round(t * 1e6, 2)}
+    if include_split or best is None:
+        t = bench_fn(wrap(split_call), *ops_args, chain_arg=0)
+        if verbose:
+            print(f"  [autotune] {key} split: {t*1e6:.1f}us", flush=True)
+        if best is None or t < best["t_us"] * 1e-6:
+            best = {"impl": "split", "t_us": round(t * 1e6, 2)}
     record(key, best, persist=persist)
     return best
 
@@ -435,7 +472,8 @@ def ensure_conv_tuned(cfg, lat_h: int, lat_w: int, batch: int, dtype=None,
 def tune_conv(n: int, h: int, w: int, cin: int, cout: int, dtype=None,
               has_res: bool = True, act: str | None = "silu",
               gn: bool = False, persist: bool = True,
-              verbose: bool = True) -> dict:
+              verbose: bool = True,
+              block_rows_candidates: list | None = None) -> dict:
     """Measure block_rows candidates for one direct-conv shape
     (kernels/conv_direct.py) and record the winner. The measured callable is
     the whole conv3x3_direct (op-level splits included — block_rows
@@ -474,7 +512,9 @@ def tune_conv(n: int, h: int, w: int, cin: int, cout: int, dtype=None,
     # escape hatch, ~3x input HBM) competes only at its VMEM-heuristic block
     # — the probe sweeps showed its ladder never beating its own heuristic
     # by more than noise while tripling the tuning wall-clock
-    halo_plans = (("element", conv_block_rows_candidates(h)),)
+    halo_plans = (("element", block_rows_candidates
+                   if block_rows_candidates is not None
+                   else conv_block_rows_candidates(h)),)
     if not gn:  # views cannot host the fused GN apply
         halo_plans += (("views", [None]),)
     import jax as _jax

@@ -235,6 +235,70 @@ def test_flash_attention_kv_parity(b, h, sq, sk, d, block_q, block_k):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "b,h,sq,sk,d,block_q,block_k,variant,span",
+    [
+        # span widens packed blocks to span x 128 lanes: one program runs
+        # span x pack sub-head chains (the grid-amortization lever for the
+        # latency-bound S=1024 single-KV shape)
+        (1, 8, 256, 256, 64, 128, 256, "packed", 2),   # single-KV, span 2
+        (1, 8, 256, 256, 64, 128, 256, "packed", 4),   # single-KV, all groups
+        (2, 8, 160, 160, 64, 64, 256, "packed", 2),    # padded seq + span
+        (1, 8, 256, 256, 64, 128, 128, "packed", 2),   # online softmax + span
+        (1, 8, 256, 256, 64, 128, 256, "packed", 3),   # !| groups -> span 1
+    ],
+)
+def test_flash_attention_span_parity(b, h, sq, sk, d, block_q, block_k,
+                                     variant, span):
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((b, sq, h * d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, sk, h * d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, sk, h * d), dtype=np.float32))
+    out = flash_attention(q, k, v, num_heads=h, block_q=block_q,
+                          block_k=block_k, variant=variant, span=span)
+    ref = ops.attention(q, k, v, num_heads=h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "b,h,s,d,block_q,block_k,span",
+    [
+        (1, 8, 256, 64, 128, 256, 2),   # fused qkv single-KV, span 2
+        (1, 8, 256, 64, 128, 256, 4),   # fused qkv single-KV, all groups
+        (2, 8, 100, 64, 32, 128, 2),    # fused qkv padded seq (online) + span
+    ],
+)
+def test_flash_attention_qkv_span_parity(b, h, s, d, block_q, block_k, span):
+    """The fused-QKV lane-chunk index maps must land on the right q/k/v
+    channel windows when blocks span multiple head-groups."""
+    rng = np.random.default_rng(12)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * h * d), dtype=np.float32))
+    out = flash_attention_qkv(qkv, num_heads=h, block_q=block_q,
+                              block_k=block_k, span=span)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ref = ops.attention(q, k, v, num_heads=h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "b,h,sq,sk,d,block_q,block_k,span",
+    [
+        (2, 8, 128, 77, 64, 64, 128, 2),   # fused kv cross, span 2
+        (1, 8, 64, 77, 64, 32, 128, 4),    # fused kv cross, all groups
+    ],
+)
+def test_flash_attention_kv_span_parity(b, h, sq, sk, d, block_q, block_k,
+                                        span):
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.standard_normal((b, sq, h * d), dtype=np.float32))
+    kv = jnp.asarray(rng.standard_normal((b, sk, 2 * h * d), dtype=np.float32))
+    out = flash_attention_kv(q, kv, num_heads=h, block_q=block_q,
+                             block_k=block_k, span=span)
+    k, v = jnp.split(kv, 2, axis=-1)
+    ref = ops.attention(q, k, v, num_heads=h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
 def test_fused_qkv_lcm_pad_masks_kv():
     """Regression: when block_q > block_k pads the shared seq beyond a
     block_k multiple (s=1536, bq=1024, bk=512 -> s_p=2048), the padded KV

@@ -95,6 +95,28 @@ def test_gn_conv2d_fused_lowers_for_tpu(real_lowering):
     assert exp.out_avals[0].shape == (B, H, H, C)
 
 
+@pytest.mark.parametrize("span,block_k", [(2, 1024), (5, 1024), (10, 1024),
+                                          (5, 512)])
+def test_attention_span_lowers_for_tpu(real_lowering, span, block_k):
+    """Span blocks (span x 128 lanes, multi-head-group programs) must pass
+    Mosaic lowering at the S=1024 32^2 self shape before any TPU tuning run
+    spends compiles on them — both the single-KV (bk=1024) and the
+    online-softmax (bk=512, span-wide scratch) kernels."""
+    from stabletriton_tpu.kernels.flash_attention import flash_attention_qkv
+
+    b, s, h, d = 2, 1024, 20, 64
+
+    def f(qkv):
+        return flash_attention_qkv(qkv, num_heads=h, block_q=512,
+                                   block_k=block_k, span=span,
+                                   interpret=False)
+
+    S = jax.ShapeDtypeStruct
+    exp = export.export(jax.jit(f), platforms=["tpu"])(
+        S((b, s, 3 * h * d), jnp.bfloat16))
+    assert exp.out_avals[0].shape == (b, s, h * d)
+
+
 def test_conv_per_batch_bias_lowers_for_tpu(real_lowering):
     """Minimal repro of the round-4 break: direct conv, (B, Cout) bias."""
     from stabletriton_tpu.kernels.conv_direct import conv3x3_direct
