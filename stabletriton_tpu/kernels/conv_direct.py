@@ -81,7 +81,11 @@ def _conv3x3_kernel_elem(x_ref, w_ref, b_ref, res_ref, gs_ref, gsh_ref,
             jnp.int32, (block_rows + 2, width + 2), 1)
         valid = ((rows >= 1) & (rows <= valid_rows)
                  & (cols >= 1) & (cols <= width))
-        xw = jnp.where(valid[..., None], xw, 0.0).astype(x_ref.dtype)
+        # multiply by a {0,1} f32 mask rather than where(valid[..., None]):
+        # Mosaic's backend only supports inserting a minor dim on 32-bit
+        # vectors, and the i1 reshape fails tpu_compile_helper (not caught
+        # by jax.export lowering, which stops before that backend pass)
+        xw = (xw * valid.astype(jnp.float32)[..., None]).astype(x_ref.dtype)
     else:
         xw = x_ref[0]
     acc = jnp.zeros((block_rows * width, cout), jnp.float32)
